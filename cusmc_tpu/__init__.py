@@ -1,0 +1,23 @@
+"""cusmc_tpu — a TPU-native SMC/MCMC inference framework.
+
+Brand-new JAX/XLA/Pallas implementation of the capability surface of the
+CuSMC reference package (bootstrap particle filtering with Metropolis
+resampling over multivariate Normal / Student-T state-space models, plus
+direct distribution sampling and Metropolis-Hastings MCMC), redesigned for
+TPU: the whole filter is one compiled ``lax.scan``, particles and chains
+shard over a ``jax.sharding.Mesh``, and hot loops run as Pallas kernels.
+
+Public API (capability parity with the reference R surface, NAMESPACE:3-8):
+``run``, ``MVN``, ``MVNPDF``, ``MVT``, ``MVTPDF``, ``metropolis_hastings``.
+"""
+
+__version__ = "0.1.0"
+
+from cusmc_tpu.api import (  # noqa: F401
+    MVN,
+    MVNPDF,
+    MVT,
+    MVTPDF,
+    metropolis_hastings,
+    run,
+)

@@ -1,0 +1,11 @@
+from cusmc_tpu.diagnostics.metrics import (
+    effective_sample_size,
+    log_normalize,
+    unique_ancestor_fraction,
+)
+
+__all__ = [
+    "effective_sample_size",
+    "log_normalize",
+    "unique_ancestor_fraction",
+]

@@ -1,0 +1,123 @@
+"""Dynamic linear model (state-space model) specification.
+
+The model the reference filter targets (``/root/reference/src/mcmc.cpp``,
+SURVEY.md §0):
+
+    x_0 ~ Dist(m0, C0)                        (initialize, mcmc.cpp:44-88)
+    x_t = G x_{t-1} + w_t,  w_t ~ Dist(0, W)  (propagate_K, mcmc.cpp:90-160)
+    y_t = F x_t + v_t,      v_t ~ Dist(0, V)  (reweight_G,  mcmc.cpp:162-237)
+
+with Dist in {MVN, MVT(df)}. The reference re-derives factorizations each
+run (eigenSolver of C0 at mcmc.cpp:69-71, of W at :278-280; V determinant and
+inverse at :275-277); here they are precomputed once into an immutable pytree
+that traces straight through ``jit``/``scan``/``shard_map``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cusmc_tpu.distributions.mvn import mvn_logpdf, mvn_sample
+from cusmc_tpu.distributions.mvt import mvt_logpdf, mvt_sample
+from cusmc_tpu.utils.linalg import chol_sqrt, cov_sqrt
+
+
+class DLM(struct.PyTreeNode):
+    """Immutable DLM spec with precomputed covariance factors.
+
+    ``noise`` selects the family for ALL THREE of prior / transition /
+    observation noise, matching the reference's single ``distribution``
+    option (``src/run.rcpp.cpp:58-62``). ``df`` is used only for "mvt".
+    """
+
+    F: jnp.ndarray            # [k, d] observation matrix
+    G: jnp.ndarray            # [d, d] transition matrix
+    m0: jnp.ndarray           # [d] prior mean
+    C0_sqrt: jnp.ndarray      # [d, d] prior covariance square root
+    W_sqrt: jnp.ndarray       # [d, d] transition covariance square root
+    V_chol: jnp.ndarray       # [k, k] observation covariance Cholesky factor
+    df: Optional[jnp.ndarray] = None
+    noise: str = struct.field(pytree_node=False, default="mvn")
+    per_dim_chi: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def create(cls, F, G, m0, C0, V, W, df=None, noise: str = "mvn",
+               sqrt_method: str = "cholesky", dtype=jnp.float32,
+               per_dim_chi: bool = False) -> "DLM":
+        F = jnp.asarray(F, dtype)
+        G = jnp.asarray(G, dtype)
+        m0 = jnp.asarray(m0, dtype)
+        if noise == "mvt" and df is None:
+            raise ValueError("mvt noise requires df")
+        return cls(
+            F=F,
+            G=G,
+            m0=m0,
+            C0_sqrt=cov_sqrt(jnp.asarray(C0, dtype), sqrt_method),
+            W_sqrt=cov_sqrt(jnp.asarray(W, dtype), sqrt_method),
+            V_chol=chol_sqrt(jnp.asarray(V, dtype)),
+            df=None if df is None else jnp.asarray(df, dtype),
+            noise=noise,
+            per_dim_chi=per_dim_chi,
+        )
+
+    @property
+    def state_dim(self) -> int:
+        return self.G.shape[-1]
+
+    @property
+    def obs_dim(self) -> int:
+        return self.F.shape[-2]
+
+    # -- the three phases of the reference filter, as pure batched fns ----
+
+    def sample_initial(self, key: jax.Array, shape: tuple) -> jnp.ndarray:
+        """x_0 draws, ``shape + (d,)`` (reference initialize, mcmc.cpp:44-88)."""
+        return self._sample(key, self.m0, self.C0_sqrt, shape)
+
+    def propagate(self, key: jax.Array, x_prev: jnp.ndarray) -> jnp.ndarray:
+        """x_t | x_{t-1}: mean G @ x_prev plus Dist(0, W) noise for a batch
+        [..., d] (reference propagate_K, proposal mean at mcmc.cpp:133)."""
+        mean = x_prev @ self.G.T
+        return self._sample(key, mean, self.W_sqrt, x_prev.shape[:-1])
+
+    def observation_logpdf(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """log p(y | x) = log Dist(y - F x; 0, V) for batched x [..., d]
+        (reference reweight_G, CPU form at mcmc.cpp:212) — in log space."""
+        resid = y - x @ self.F.T
+        if self.noise == "mvt":
+            return mvt_logpdf(resid, 0.0, self.V_chol, self.df)
+        return mvn_logpdf(resid, 0.0, self.V_chol)
+
+    def _sample(self, key, mean, scale, shape):
+        if self.noise == "mvt":
+            return mvt_sample(key, mean, scale, self.df, shape, self.per_dim_chi)
+        return mvn_sample(key, mean, scale, shape)
+
+    # -- data generation --------------------------------------------------
+
+    def simulate(self, key: jax.Array, num_steps: int):
+        """Draw a latent path and observations (reference generateInput,
+        mcmc.cpp:6-42). Returns (xs [T, d], ys [T, k]); row 0 of ys is zero
+        like the bundled y_t.csv (its first row is '0,0')."""
+        k0, key = jax.random.split(key)
+        x0 = self.sample_initial(k0, ())
+
+        def step(x, kt):
+            kp, ko = jax.random.split(kt)
+            x_next = self.propagate(kp, x)
+            resid_scale = self.V_chol
+            y = x_next @ self.F.T + self._sample(ko, jnp.zeros(self.obs_dim,
+                                                              x.dtype),
+                                                 resid_scale, ())
+            return x_next, (x_next, y)
+
+        keys = jax.random.split(key, num_steps - 1)
+        _, (xs, ys) = jax.lax.scan(step, x0, keys)
+        xs = jnp.concatenate([x0[None], xs], axis=0)
+        ys = jnp.concatenate([jnp.zeros((1, self.obs_dim), ys.dtype), ys], axis=0)
+        return xs, ys

@@ -1,0 +1,192 @@
+"""Bootstrap particle filter as a single compiled ``lax.scan``.
+
+TPU-native replacement for the reference's driver stack
+(``/root/reference/src/run.rcpp.cpp:58-126`` -> ``src/particle_filter.cpp:6-39``
+-> ``MCMC`` time loop ``src/mcmc.cpp:239-309``). The reference crosses the
+host<->device boundary six times per timestep (H2D/D2H around the sample and
+pdf wrappers, with per-call cudaMalloc and a cudaDeviceReset per reweight —
+call-stack trace in SURVEY.md §3.1/§3.5); here the whole T-step filter is one
+XLA program: carry ``(x [N,d], logw [N], key)``, body = resample ->
+propagate -> reweight exactly mirroring ``mcmc.cpp:292-308``.
+
+Improvements over the reference (capabilities, not defects — SURVEY.md §7):
+- log-space weights (reference multiplies raw densities, ``mcmc.cpp:212``);
+- optional ESS-adaptive resampling (reference always resamples);
+- log-evidence and per-step ESS outputs (reference computes neither);
+- counter-based reproducible RNG.
+
+``axis_name`` threads the same body through ``shard_map`` for the
+particle-sharded multi-chip path (``cusmc_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from cusmc_tpu.diagnostics.metrics import effective_sample_size, log_normalize
+from cusmc_tpu.models.dlm import DLM
+from cusmc_tpu.resampling import get_resampler
+
+
+class FilterResult(struct.PyTreeNode):
+    """Outputs of one filter run.
+
+    ``particles`` [T, N, d], ``obs_loglik`` [T, N] (the unnormalized
+    per-step observation log-likelihood — the log of the reference's raw
+    weight arrays ``w_t``, ``src/run.rcpp.cpp:110-125``), ``ancestors``
+    [T, N] — all None when ``return_history=False``. ``ess`` [T],
+    ``log_evidence`` scalar, plus the final particle cloud.
+    """
+
+    final_particles: jnp.ndarray
+    final_log_weights: jnp.ndarray
+    ess: jnp.ndarray
+    log_evidence: jnp.ndarray
+    particles: Optional[jnp.ndarray] = None
+    obs_loglik: Optional[jnp.ndarray] = None
+    ancestors: Optional[jnp.ndarray] = None
+
+
+def _step_factory(model: DLM, resample_op: Callable, ess_threshold: Optional[float],
+                  num_particles_global: int, axis_name: Optional[str],
+                  return_history: bool = True):
+    """Build the scan body.
+
+    ``resample_op(key, x, logw) -> (x_ancestors, logw_after, ancestor_idx)``
+    abstracts local vs collective resampling (the sharded path injects a
+    version that all-gathers weights and resolves global ancestry).
+    ``num_particles_global`` is the total N across shards (== local N when
+    axis_name is None). The resample key is COMMON across shards (needed for
+    globally-consistent systematic positions); the propagate key is folded
+    with the shard index so noise is shard-unique.
+    """
+
+    def step(carry, inp):
+        x, logw, key = carry
+        t, y_t = inp
+        key_t = jax.random.fold_in(key, t)
+        k_res, k_prop = jax.random.split(key_t)
+        if axis_name is not None:
+            k_prop = jax.random.fold_in(k_prop, lax.axis_index(axis_name))
+
+        ess = effective_sample_size(logw, axis_name)
+
+        def do_resample(_):
+            return resample_op(k_res, x, logw)
+
+        def skip_resample(_):
+            n_local = logw.shape[0]
+            return x, logw, jnp.arange(n_local, dtype=jnp.int32)
+
+        if ess_threshold is None:
+            x_anc, logw_pre, a = do_resample(None)
+        elif axis_name is None:
+            x_anc, logw_pre, a = lax.cond(
+                ess < ess_threshold * num_particles_global,
+                do_resample, skip_resample, None)
+        else:
+            # Under shard_map, keep collectives unconditional (cond with
+            # collective bodies is fragile); compute both and select.
+            rx, rw, ra = do_resample(None)
+            sx, sw, sa = skip_resample(None)
+            pred = ess < ess_threshold * num_particles_global
+            x_anc = jnp.where(pred, rx, sx)
+            logw_pre = jnp.where(pred, rw, sw)
+            a = jnp.where(pred, ra, sa)
+
+        x_new = model.propagate(k_prop, x_anc)
+        ll = model.observation_logpdf(y_t, x_new)
+
+        logw_new, lz_inc = log_normalize(logw_pre + ll, axis_name)
+        carry = (x_new, logw_new, key)
+        history = (x_new, ll, a) if return_history else ()
+        return carry, (history, ess, lz_inc)
+
+    return step
+
+
+def local_resample_op(resampler: Callable, num_particles_global: int):
+    """Default single-shard resample op from a (key, logw) -> idx resampler."""
+    log_n = math.log(num_particles_global)
+
+    def op(key, x, logw):
+        a = resampler(key, logw)
+        return x[a], jnp.full(logw.shape, -log_n, logw.dtype), a
+
+    return op
+
+
+def bootstrap_filter(
+    key: jax.Array,
+    model: DLM,
+    ys: jnp.ndarray,
+    num_particles: int,
+    resampler: str = "metropolis",
+    resampler_kwargs: Optional[dict] = None,
+    ess_threshold: Optional[float] = None,
+    return_history: bool = True,
+    axis_name: Optional[str] = None,
+    num_particles_global: Optional[int] = None,
+    resample_op: Optional[Callable] = None,
+) -> FilterResult:
+    """Run the bootstrap filter on observations ``ys`` [T, k].
+
+    Row 0 of ``ys`` is ignored (t=0 is the prior draw — the bundled dataset's
+    first observation row is zeros, ``data_raw/y_t.csv``; the reference loop
+    starts at t=1, ``src/mcmc.cpp:292``).
+
+    ``resampler`` is a registry key ("metropolis" | "systematic" |
+    "stratified" | "multinomial"); ``resample_op`` overrides the whole
+    resampling operation with a custom ``(key, x, logw) -> (x_anc, logw, a)``
+    (used by the sharded path to inject a collective-aware resampler).
+    ``ess_threshold=None`` -> resample every step (reference behavior); a
+    float in (0, 1] -> adaptive resampling on Kish ESS.
+
+    Under ``shard_map`` pass ``axis_name`` (the particle mesh axis) and the
+    global N via ``num_particles_global``; ``num_particles`` is then local.
+    """
+    resampler_kwargs = resampler_kwargs or {}
+    n_global = num_particles_global or num_particles
+    if resample_op is None:
+        res_fn = get_resampler(resampler, **resampler_kwargs)
+        resample_op = local_resample_op(res_fn, n_global)
+    dtype = model.G.dtype
+
+    k_init, k_scan = jax.random.split(key)
+    if axis_name is not None:
+        k_init = jax.random.fold_in(k_init, lax.axis_index(axis_name))
+    x0 = model.sample_initial(k_init, (num_particles,))
+    logw0 = jnp.full((num_particles,), -math.log(n_global), dtype)
+
+    num_steps = ys.shape[0]
+    ts = jnp.arange(1, num_steps)
+    step = _step_factory(model, resample_op, ess_threshold, n_global, axis_name,
+                         return_history)
+    (x_f, logw_f, _), (history, esss, lzs) = lax.scan(
+        step, (x0, logw0, k_scan), (ts, ys[1:]))
+
+    ess0 = effective_sample_size(logw0, axis_name)
+    ess = jnp.concatenate([ess0[None], esss])
+    log_evidence = jnp.sum(lzs)
+
+    if not return_history:
+        return FilterResult(
+            final_particles=x_f, final_log_weights=logw_f,
+            ess=ess, log_evidence=log_evidence)
+
+    xs, lls, ancs = history
+    particles = jnp.concatenate([x0[None], xs], axis=0)
+    # t=0 raw weight is the uniform 1/N fill (reference mcmc.cpp:85).
+    obs_loglik = jnp.concatenate([logw0[None], lls], axis=0)
+    a0 = jnp.arange(num_particles, dtype=jnp.int32)
+    ancestors = jnp.concatenate([a0[None], ancs], axis=0)
+    return FilterResult(
+        final_particles=x_f, final_log_weights=logw_f,
+        ess=ess, log_evidence=log_evidence,
+        particles=particles, obs_loglik=obs_loglik, ancestors=ancestors)

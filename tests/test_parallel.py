@@ -1,0 +1,125 @@
+"""Sharded == single-device tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 "Distributed"): the sharded filter and MH sampler must agree
+with their single-device counterparts statistically, and collectives must
+produce identical replicated diagnostics on every shard."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cusmc_tpu.io.data import demo_model_params, load_y_sim
+from cusmc_tpu.distributions import mvn_logpdf_cov
+from cusmc_tpu.models.dlm import DLM
+from cusmc_tpu.parallel import (
+    make_mesh,
+    sharded_bootstrap_filter,
+    sharded_mh_sampler,
+)
+from cusmc_tpu.smc.kalman import kalman_filter
+from cusmc_tpu.smc.particle_filter import bootstrap_filter
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh({"particles": 8})
+
+
+@pytest.fixture(scope="module")
+def demo():
+    params = demo_model_params()
+    ys = jnp.asarray(load_y_sim()[:201], jnp.float32)
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    return params, model, ys
+
+
+@pytest.mark.parametrize("resampler", ["systematic", "metropolis",
+                                       "stratified", "multinomial"])
+def test_sharded_filter_matches_kalman(demo, mesh, resampler, key):
+    params, model, ys = demo
+    n = 4096
+    result = sharded_bootstrap_filter(key, model, ys, n, mesh,
+                                      resampler=resampler)
+    km, kc, kll = kalman_filter(np.asarray(ys),
+                                **{k: params[k] for k in
+                                   ("F", "G", "V", "W", "m0", "C0")})
+    # Weighted mean of the final cloud vs final Kalman mean.
+    w = np.exp(np.asarray(result.final_log_weights))
+    w /= w.sum()
+    fmean = (w[:, None] * np.asarray(result.final_particles)).sum(0)
+    sd = np.sqrt(np.asarray(kc)[-1].diagonal())
+    assert np.all(np.abs(fmean - np.asarray(km)[-1]) < 6.0 * sd)
+    # Log evidence close to the exact marginal likelihood.
+    assert abs(float(result.log_evidence) - float(kll)) < 0.05 * abs(float(kll))
+    assert np.isfinite(np.asarray(result.ess)).all()
+
+
+def test_sharded_history_and_global_ancestors(demo, mesh, key):
+    _, model, ys = demo
+    n = 1024
+    result = sharded_bootstrap_filter(key, model, ys[:51], n, mesh,
+                                      resampler="systematic",
+                                      return_history=True)
+    assert result.particles.shape == (51, n, 2)
+    assert result.ancestors.shape == (51, n)
+    a = np.asarray(result.ancestors)
+    assert (a >= 0).all() and (a < n).all()
+    # Global ancestor indices must span shard boundaries eventually.
+    assert (a[1:] // (n // 8) != np.arange(n)[None, :] // (n // 8)).any()
+
+
+def test_sharded_vs_single_device_log_evidence(demo, mesh, key):
+    _, model, ys = demo
+    n = 2048
+    sharded = sharded_bootstrap_filter(key, model, ys, n, mesh,
+                                       resampler="systematic")
+    single = bootstrap_filter(key, model, ys, n, resampler="systematic",
+                              return_history=False)
+    # Different RNG layouts -> statistically equal, not bitwise.
+    assert abs(float(sharded.log_evidence) - float(single.log_evidence)) < \
+        0.02 * abs(float(single.log_evidence))
+
+
+def test_sharded_adaptive_resampling(demo, mesh, key):
+    _, model, ys = demo
+    result = sharded_bootstrap_filter(key, model, ys[:101], 1024, mesh,
+                                      resampler="systematic",
+                                      ess_threshold=0.5)
+    assert np.isfinite(float(result.log_evidence))
+    assert np.isfinite(np.asarray(result.ess)).all()
+
+
+def test_sharded_mh_matches_target(key):
+    mesh = make_mesh({"chains": 8})
+    d, chains, steps = 4, 128, 2000
+    cov = jnp.eye(d, dtype=jnp.float32)
+    log_prob = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32), cov)
+    init = jax.random.normal(key, (chains, d), jnp.float32)
+    result = sharded_mh_sampler(key, log_prob, init, steps, mesh,
+                                keep_samples=True, step_size=0.8)
+    assert result.samples.shape == (steps, chains, d)
+    samples = np.asarray(result.samples[steps // 2:]).reshape(-1, d)
+    np.testing.assert_allclose(samples.mean(0), np.zeros(d), atol=0.15)
+    np.testing.assert_allclose(samples.var(0), np.ones(d), rtol=0.25)
+    assert 0.05 < float(result.accept_rate) < 0.9
+
+
+def test_sharded_mh_pooled_adaptation(key):
+    mesh = make_mesh({"chains": 8})
+    d, chains = 8, 64
+    log_prob = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
+                                        jnp.eye(d, dtype=jnp.float32))
+    init = jnp.zeros((chains, d), jnp.float32)
+    result = sharded_mh_sampler(key, log_prob, init, 1500, mesh,
+                                step_size=1e-3, adapt_rate=0.1)
+    # Pooled adaptation must drive acceptance toward target from a bad start.
+    assert 0.1 < float(result.accept_rate) < 0.6
+    # step_size replicated across shards -> a scalar here.
+    assert result.step_size.shape == ()
+
+
+def test_indivisible_particles_raises(demo, mesh, key):
+    _, model, ys = demo
+    with pytest.raises(ValueError):
+        sharded_bootstrap_filter(key, model, ys[:11], 1000, mesh)

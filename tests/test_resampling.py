@@ -1,0 +1,103 @@
+"""Resampler unit tests: unbiasedness (E[#offspring_i] ∝ w_i — SURVEY.md §4)
+and structural properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cusmc_tpu.resampling import RESAMPLERS, get_resampler
+
+
+def offspring_counts(ancestors, n):
+    return np.bincount(np.asarray(ancestors), minlength=n)
+
+
+ALL = sorted(RESAMPLERS)
+
+
+class TestResamplers:
+    @pytest.mark.parametrize("name", ALL)
+    def test_shape_dtype_range(self, name, key):
+        n = 64
+        logw = jax.random.normal(key, (n,))
+        a = get_resampler(name)(key, logw)
+        assert a.shape == (n,)
+        assert a.dtype == jnp.int32
+        assert (np.asarray(a) >= 0).all() and (np.asarray(a) < n).all()
+
+    @pytest.mark.parametrize("name", ALL)
+    def test_unbiased(self, name, key):
+        # Average offspring over many independent resamplings ∝ weights.
+        n, reps = 32, 3000
+        rng = np.random.default_rng(0)
+        w = rng.random(n) + 0.05
+        w /= w.sum()
+        logw = jnp.log(jnp.asarray(w))
+        fn = get_resampler(name)
+        keys = jax.random.split(key, reps)
+        ancs = jax.vmap(lambda k: fn(k, logw))(keys)
+        counts = np.zeros(n)
+        for row in np.asarray(ancs):
+            counts += np.bincount(row, minlength=n)
+        emp = counts / (reps * n)
+        # Metropolis with finite B is only approximately unbiased
+        # (Murray et al. 2012); give it a looser tolerance.
+        atol = 0.02 if name == "metropolis" else 0.004
+        np.testing.assert_allclose(emp, w, atol=atol)
+
+    def test_systematic_low_variance(self, key):
+        # Systematic resampling: offspring count of particle i is floor or
+        # ceil of n*w_i — a single draw suffices to verify.
+        n = 128
+        rng = np.random.default_rng(1)
+        w = rng.random(n) + 0.01
+        w /= w.sum()
+        a = get_resampler("systematic")(key, jnp.log(jnp.asarray(w)))
+        counts = offspring_counts(a, n)
+        expect = n * w
+        assert (counts >= np.floor(expect) - 1e-9).all()
+        assert (counts <= np.ceil(expect) + 1e-9).all()
+
+    def test_metropolis_uniform_weights_keeps_diversity(self, key):
+        # With uniform weights every proposal is accepted; ancestors are
+        # uniform draws, and the chain must not collapse to one index.
+        n = 256
+        a = get_resampler("metropolis")(key, jnp.zeros(n))
+        assert len(np.unique(np.asarray(a))) > n // 4
+
+    def test_metropolis_b_steps_configurable(self, key):
+        logw = jnp.asarray([0.0, 10.0, -10.0, 0.0])
+        a1 = get_resampler("metropolis", num_steps=1)(key, logw)
+        a50 = get_resampler("metropolis", num_steps=50)(key, logw)
+        assert a1.shape == a50.shape == (4,)
+        # With a dominant weight and many sweeps, most chains land on index 1.
+        assert (np.asarray(a50) == 1).sum() >= 3
+
+    @pytest.mark.parametrize("name", ["systematic", "stratified", "multinomial"])
+    def test_degenerate_single_heavy_weight(self, name, key):
+        n = 64
+        logw = jnp.full((n,), -1e30)
+        logw = logw.at[17].set(0.0)
+        a = get_resampler(name)(key, logw)
+        assert (np.asarray(a) == 17).all()
+
+    def test_metropolis_degenerate_converges_with_steps(self, key):
+        # Finite-B Metropolis is only approximately correct (Murray et al.
+        # 2012): a chain keeps its start until it PROPOSES the heavy index.
+        # With enough sweeps essentially all chains land on it.
+        n = 64
+        logw = jnp.full((n,), -1e30)
+        logw = logw.at[17].set(0.0)
+        a = get_resampler("metropolis", num_steps=400)(key, logw)
+        assert (np.asarray(a) == 17).mean() > 0.95
+
+    @pytest.mark.parametrize("name", ALL)
+    def test_jit_and_reproducible(self, name, key):
+        logw = jax.random.normal(key, (64,))
+        fn = get_resampler(name)
+        a1 = jax.jit(fn)(key, logw)
+        a2 = jax.jit(fn)(key, logw)
+        a3 = fn(key, logw)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))

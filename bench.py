@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: particles x steps / sec / chip on the MVT bootstrap
+particle filter (BASELINE.json `metric`). Prints ONE JSON line.
+
+Runs on whatever the default JAX platform provides (the real TPU chip under
+the session env; CPU elsewhere). The reference publishes no numbers
+(BASELINE.md), so `vs_baseline` is reported against the previous round's
+recorded value when a BENCH_r*.json is present, else 1.0.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from cusmc_tpu.io.data import demo_model_params
+from cusmc_tpu.models.dlm import DLM
+from cusmc_tpu.smc.particle_filter import bootstrap_filter
+
+
+def main():
+    num_particles = int(os.environ.get("BENCH_N", 1_048_576))
+    num_steps = int(os.environ.get("BENCH_T", 200))
+    d = int(os.environ.get("BENCH_D", 2))
+
+    params = demo_model_params(d=d)
+    model = DLM.create(noise="mvt", df=5.0, dtype=jnp.float32, **params)
+    # Synthetic observations suffice for throughput (same compute path).
+    key = jax.random.key(0)
+    _, ys = model.simulate(key, num_steps)
+    ys = jnp.asarray(ys, jnp.float32)
+
+    fn = jax.jit(lambda k: bootstrap_filter(
+        k, model, ys, num_particles, resampler="metropolis",
+        return_history=False))
+
+    # Warmup/compile.
+    out = fn(key)
+    jax.block_until_ready(out)
+
+    reps = 3
+    best = float("inf")
+    for i in range(reps):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        out = fn(k)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+
+    rate = num_particles * (num_steps - 1) / best
+
+    vs = 1.0
+    prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__),
+                                         "BENCH_r*.json")),
+                  key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if prev:
+        try:
+            with open(prev[-1]) as f:
+                prev_val = json.load(f).get("value")
+            if prev_val:
+                vs = rate / float(prev_val)
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": f"particle-steps/sec/chip, MVT bootstrap PF "
+                  f"(N={num_particles}, T={num_steps}, d={d}, metropolis)",
+        "value": rate,
+        "unit": "particle-steps/s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

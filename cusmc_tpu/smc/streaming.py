@@ -1,0 +1,127 @@
+"""Chunked streaming particle filter: device scans K steps at a time,
+history streams to a host-side arena between chunks.
+
+The reference holds the entire T x N x d history in RAM
+(``/root/reference/src/run.rcpp.cpp:80-97``) — at TPU scale (N=1M, T=1000)
+that is 8 GB/dim and cannot live in HBM. Here the scan carry stays on
+device across chunks (no re-initialization), only the [K, N, d] history
+block crosses to the host per chunk, into ``TrajectoryStore``'s
+preallocated arena (native memcpy, no per-step Python).
+
+This is also the checkpoint/resume boundary: the carry returned per chunk
+is exactly what ``cusmc_tpu.checkpoint`` snapshots (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cusmc_tpu.diagnostics.metrics import effective_sample_size
+from cusmc_tpu.io.native_store import TrajectoryStore
+from cusmc_tpu.models.dlm import DLM
+from cusmc_tpu.resampling import get_resampler
+from cusmc_tpu.smc.particle_filter import (
+    FilterResult,
+    _step_factory,
+    local_resample_op,
+)
+
+
+def streaming_bootstrap_filter(
+    key: jax.Array,
+    model: DLM,
+    ys: np.ndarray,
+    num_particles: int,
+    chunk_steps: int = 64,
+    resampler: str = "metropolis",
+    resampler_kwargs: Optional[dict] = None,
+    ess_threshold: Optional[float] = None,
+    store_particles: bool = True,
+    force_numpy_store: bool = False,
+    checkpoint=None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
+):
+    """Run the filter over ``ys`` [T, k] in chunks of ``chunk_steps``.
+
+    Returns ``(FilterResult, particle_store)`` where the FilterResult's
+    in-HBM history fields are None and ``particle_store`` is a
+    ``TrajectoryStore`` holding the streamed [T, N, d] particle history
+    (None when ``store_particles=False``).
+
+    ``checkpoint`` (a ``cusmc_tpu.checkpoint.FilterCheckpoint``) snapshots
+    the carry every ``checkpoint_every`` steps (default: every chunk);
+    ``resume=True`` restores the latest snapshot and continues from its
+    step (particle history before the resume point is not replayed).
+    """
+    resampler_kwargs = resampler_kwargs or {}
+    res_fn = get_resampler(resampler, **resampler_kwargs)
+    resample_op = local_resample_op(res_fn, num_particles)
+    step = _step_factory(model, resample_op, ess_threshold, num_particles,
+                         axis_name=None, return_history=True)
+    dtype = model.G.dtype
+    d = model.state_dim
+    num_steps = ys.shape[0]
+
+    @jax.jit
+    def run_chunk(carry, ts, ys_chunk):
+        return lax.scan(step, carry, (ts, ys_chunk))
+
+    k_init, k_scan = jax.random.split(key)
+    x0 = model.sample_initial(k_init, (num_particles,))
+    logw0 = jnp.full((num_particles,), -math.log(num_particles), dtype)
+    carry = (x0, logw0, k_scan)
+    log_evidence = 0.0
+    t = 1
+
+    if resume:
+        if checkpoint is None:
+            raise ValueError("resume=True requires a checkpoint")
+        snap = checkpoint.restore()
+        carry = (snap["particles"].astype(dtype),
+                 snap["log_weights"].astype(dtype), snap["key"])
+        log_evidence = snap["log_evidence"]
+        t = snap["t"] + 1
+
+    store = None
+    if store_particles:
+        store = TrajectoryStore((num_particles, d), num_steps, np.float32,
+                                force_numpy=force_numpy_store)
+        store.append(np.asarray(carry[0], np.float32)[None])
+
+    ess_all = [np.asarray(effective_sample_size(carry[1]))[None]]
+    ys = np.asarray(ys)
+    next_ckpt = None
+    if checkpoint is not None:
+        checkpoint_every = checkpoint_every or chunk_steps
+        next_ckpt = t - 1 + checkpoint_every
+
+    while t < num_steps:
+        k = min(chunk_steps, num_steps - t)
+        ts = jnp.arange(t, t + k)
+        ys_chunk = jnp.asarray(ys[t:t + k], dtype)
+        carry, ((xs, _lls, _ancs), esss, lzs) = run_chunk(carry, ts, ys_chunk)
+        if store is not None:
+            store.append(np.asarray(xs, np.float32))
+        ess_all.append(np.asarray(esss))
+        log_evidence += float(jnp.sum(lzs))
+        t += k
+        if next_ckpt is not None and t - 1 >= next_ckpt:
+            x_c, logw_c, key_c = carry
+            checkpoint.save(t - 1, x_c, logw_c, key_c, log_evidence)
+            next_ckpt = t - 1 + checkpoint_every
+
+    x_f, logw_f, _ = carry
+    result = FilterResult(
+        final_particles=x_f,
+        final_log_weights=logw_f,
+        ess=jnp.asarray(np.concatenate(ess_all)),
+        log_evidence=jnp.asarray(log_evidence),
+    )
+    return result, store

@@ -122,4 +122,4 @@ def test_sharded_mh_pooled_adaptation(key):
 def test_indivisible_particles_raises(demo, mesh, key):
     _, model, ys = demo
     with pytest.raises(ValueError):
-        sharded_bootstrap_filter(key, model, ys[:11], 1000, mesh)
+        sharded_bootstrap_filter(key, model, ys[:11], 1001, mesh)

@@ -15,14 +15,17 @@ that traces straight through ``jit``/``scan``/``shard_map``.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.scipy.special import gammaln
 
 from cusmc_tpu.distributions.mvn import mvn_logpdf, mvn_sample
 from cusmc_tpu.distributions.mvt import mvt_logpdf, mvt_sample
+from cusmc_tpu.ops.packed import matvec, quadform
 from cusmc_tpu.utils.linalg import chol_sqrt, cov_sqrt
 
 
@@ -40,6 +43,7 @@ class DLM(struct.PyTreeNode):
     C0_sqrt: jnp.ndarray      # [d, d] prior covariance square root
     W_sqrt: jnp.ndarray       # [d, d] transition covariance square root
     V_chol: jnp.ndarray       # [k, k] observation covariance Cholesky factor
+    V_chol_inv: jnp.ndarray = None  # [k, k] inverse Cholesky (packed path)
     df: Optional[jnp.ndarray] = None
     noise: str = struct.field(pytree_node=False, default="mvn")
     per_dim_chi: bool = struct.field(pytree_node=False, default=False)
@@ -53,13 +57,18 @@ class DLM(struct.PyTreeNode):
         m0 = jnp.asarray(m0, dtype)
         if noise == "mvt" and df is None:
             raise ValueError("mvt noise requires df")
+        V_chol = chol_sqrt(jnp.asarray(V, dtype))
+        eye_k = jnp.eye(V_chol.shape[-1], dtype=dtype)
+        V_chol_inv = jax.scipy.linalg.solve_triangular(V_chol, eye_k,
+                                                       lower=True)
         return cls(
             F=F,
             G=G,
             m0=m0,
             C0_sqrt=cov_sqrt(jnp.asarray(C0, dtype), sqrt_method),
             W_sqrt=cov_sqrt(jnp.asarray(W, dtype), sqrt_method),
-            V_chol=chol_sqrt(jnp.asarray(V, dtype)),
+            V_chol=V_chol,
+            V_chol_inv=V_chol_inv,
             df=None if df is None else jnp.asarray(df, dtype),
             noise=noise,
             per_dim_chi=per_dim_chi,
@@ -97,6 +106,49 @@ class DLM(struct.PyTreeNode):
         if self.noise == "mvt":
             return mvt_sample(key, mean, scale, self.df, shape, self.per_dim_chi)
         return mvn_sample(key, mean, scale, shape)
+
+    # -- packed [d, N] layout (the TPU hot path; see ops/packed.py) -------
+
+    def sample_initial_packed(self, key: jax.Array, n: int) -> jnp.ndarray:
+        """x_0 draws in packed layout [d, n]."""
+        return self._sample_packed(key, self.m0[:, None], self.C0_sqrt, n)
+
+    def propagate_packed(self, key: jax.Array, X_prev: jnp.ndarray) -> jnp.ndarray:
+        """X_t | X_{t-1} for packed X [d, n]: mean G @ X plus Dist(0, W)."""
+        mean = matvec(self.G, X_prev)
+        return self._sample_packed(key, mean, self.W_sqrt, X_prev.shape[-1])
+
+    def observation_logpdf_packed(self, y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+        """log p(y | x) for packed X [d, n] -> [n], via the precomputed
+        inverse Cholesky of V (single fused pass, no triangular solve)."""
+        k = self.obs_dim
+        resid = y[:, None] - matvec(self.F, X)
+        quad = quadform(self.V_chol_inv, resid)
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(self.V_chol)))
+        if self.noise == "mvt":
+            df = self.df
+            log_norm = (gammaln(0.5 * (df + k)) - gammaln(0.5 * df)
+                        - 0.5 * k * (jnp.log(df) + math.log(math.pi))
+                        - half_logdet)
+            return log_norm - 0.5 * (df + k) * jnp.log1p(quad / df)
+        log_norm = -0.5 * k * math.log(2.0 * math.pi) - half_logdet
+        return log_norm - 0.5 * quad
+
+    def _sample_packed(self, key, mean, scale, n):
+        """mean [d, n] (or [d, 1]) + scale @ z with z [d, n] ~ N(0, I);
+        MVT applies the chi-square scale mixture on the lane axis."""
+        d = scale.shape[-1]
+        dtype = scale.dtype
+        if self.noise == "mvt":
+            kz, kg = jax.random.split(key)
+            z = jax.random.normal(kz, (d, n), dtype)
+            lz = matvec(scale, z)
+            df = self.df
+            shape = (d, n) if self.per_dim_chi else (1, n)
+            g = 2.0 * jax.random.gamma(kg, 0.5 * df, shape, dtype)
+            return mean + lz * jnp.sqrt(df / g)
+        z = jax.random.normal(key, (d, n), dtype)
+        return mean + matvec(scale, z)
 
     # -- data generation --------------------------------------------------
 

@@ -6,8 +6,16 @@ TPU-native replacement for the reference's driver stack
 host<->device boundary six times per timestep (H2D/D2H around the sample and
 pdf wrappers, with per-call cudaMalloc and a cudaDeviceReset per reweight —
 call-stack trace in SURVEY.md §3.1/§3.5); here the whole T-step filter is one
-XLA program: carry ``(x [N,d], logw [N], key)``, body = resample ->
-propagate -> reweight exactly mirroring ``mcmc.cpp:292-308``.
+XLA program: body = resample -> propagate -> reweight exactly mirroring
+``mcmc.cpp:292-308``.
+
+Two layouts for the scan carry:
+- "packed" (default on the hot path): particles as [d, N], N on the 128-lane
+  axis, with the gather-free roll-Metropolis resampler — ~100x faster at
+  N=1M on TPU v5e (see ops/packed.py and resampling/rolls.py for the
+  measurements). Public inputs/outputs remain [N, d] / [T, N, d].
+- "batch": particles as [N, d] with index-gather resampling — the layout
+  the sharded allgather path and the registry resamplers use directly.
 
 Improvements over the reference (capabilities, not defects — SURVEY.md §7):
 - log-space weights (reference multiplies raw densities, ``mcmc.cpp:212``);
@@ -32,6 +40,10 @@ from jax import lax
 from cusmc_tpu.diagnostics.metrics import effective_sample_size, log_normalize
 from cusmc_tpu.models.dlm import DLM
 from cusmc_tpu.resampling import get_resampler
+from cusmc_tpu.resampling.rolls import (
+    roll_metropolis_resample_op,
+    systematic_ancestors_sortfree,
+)
 
 
 class FilterResult(struct.PyTreeNode):
@@ -53,14 +65,15 @@ class FilterResult(struct.PyTreeNode):
     ancestors: Optional[jnp.ndarray] = None
 
 
-def _step_factory(model: DLM, resample_op: Callable, ess_threshold: Optional[float],
+def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
+                  resample_op: Callable, ess_threshold: Optional[float],
                   num_particles_global: int, axis_name: Optional[str],
                   return_history: bool = True):
-    """Build the scan body.
+    """Build the scan body (layout-agnostic: ``x`` is whatever
+    ``propagate_fn``/``resample_op`` operate on).
 
     ``resample_op(key, x, logw) -> (x_ancestors, logw_after, ancestor_idx)``
-    abstracts local vs collective resampling (the sharded path injects a
-    version that all-gathers weights and resolves global ancestry).
+    abstracts local vs collective and indexed vs roll-based resampling.
     ``num_particles_global`` is the total N across shards (== local N when
     axis_name is None). The resample key is COMMON across shards (needed for
     globally-consistent systematic positions); the propagate key is folded
@@ -100,8 +113,8 @@ def _step_factory(model: DLM, resample_op: Callable, ess_threshold: Optional[flo
             logw_pre = jnp.where(pred, rw, sw)
             a = jnp.where(pred, ra, sa)
 
-        x_new = model.propagate(k_prop, x_anc)
-        ll = model.observation_logpdf(y_t, x_new)
+        x_new = propagate_fn(k_prop, x_anc)
+        ll = logpdf_fn(y_t, x_new)
 
         logw_new, lz_inc = log_normalize(logw_pre + ll, axis_name)
         carry = (x_new, logw_new, key)
@@ -112,12 +125,39 @@ def _step_factory(model: DLM, resample_op: Callable, ess_threshold: Optional[flo
 
 
 def local_resample_op(resampler: Callable, num_particles_global: int):
-    """Default single-shard resample op from a (key, logw) -> idx resampler."""
+    """Batch-layout resample op from a (key, logw) -> idx resampler."""
     log_n = math.log(num_particles_global)
 
     def op(key, x, logw):
         a = resampler(key, logw)
         return x[a], jnp.full(logw.shape, -log_n, logw.dtype), a
+
+    return op
+
+
+def packed_resample_op(resampler_name: str, num_particles_global: int,
+                       **kwargs):
+    """Packed-layout [d, N] resample op for a registry key.
+
+    "metropolis" -> gather-free roll-Metropolis sweeps;
+    "systematic" -> sort-free merge-rank ancestors + one lane gather;
+    others        -> registry ancestor fn + one lane gather.
+    """
+    log_n = math.log(num_particles_global)
+
+    if resampler_name == "metropolis":
+        return roll_metropolis_resample_op(
+            num_particles=num_particles_global, **kwargs)
+
+    if resampler_name == "systematic":
+        ancestor_fn = systematic_ancestors_sortfree
+    else:
+        ancestor_fn = get_resampler(resampler_name, **kwargs)
+
+    def op(key, X, logw):
+        a = ancestor_fn(key, logw)
+        return (jnp.take(X, a, axis=1),
+                jnp.full(logw.shape, -log_n, logw.dtype), a)
 
     return op
 
@@ -131,6 +171,7 @@ def bootstrap_filter(
     resampler_kwargs: Optional[dict] = None,
     ess_threshold: Optional[float] = None,
     return_history: bool = True,
+    layout: str = "auto",
     axis_name: Optional[str] = None,
     num_particles_global: Optional[int] = None,
     resample_op: Optional[Callable] = None,
@@ -144,30 +185,51 @@ def bootstrap_filter(
     ``resampler`` is a registry key ("metropolis" | "systematic" |
     "stratified" | "multinomial"); ``resample_op`` overrides the whole
     resampling operation with a custom ``(key, x, logw) -> (x_anc, logw, a)``
-    (used by the sharded path to inject a collective-aware resampler).
-    ``ess_threshold=None`` -> resample every step (reference behavior); a
-    float in (0, 1] -> adaptive resampling on Kish ESS.
+    matching the chosen layout (used by the sharded path to inject a
+    collective-aware resampler). ``ess_threshold=None`` -> resample every
+    step (reference behavior); a float in (0, 1] -> adaptive on Kish ESS.
+
+    ``layout``: "auto" (packed unless a custom batch-layout resample_op is
+    injected), "packed", or "batch". Results are layout-independent in
+    distribution; RNG streams differ, so exact values are layout-specific.
 
     Under ``shard_map`` pass ``axis_name`` (the particle mesh axis) and the
     global N via ``num_particles_global``; ``num_particles`` is then local.
     """
     resampler_kwargs = resampler_kwargs or {}
     n_global = num_particles_global or num_particles
+    if layout == "auto":
+        layout = "batch" if resample_op is not None else "packed"
+    if layout not in ("packed", "batch"):
+        raise ValueError(f"unknown layout {layout!r}")
+    packed = layout == "packed"
+
     if resample_op is None:
-        res_fn = get_resampler(resampler, **resampler_kwargs)
-        resample_op = local_resample_op(res_fn, n_global)
+        if packed:
+            resample_op = packed_resample_op(resampler, n_global,
+                                             **resampler_kwargs)
+        else:
+            res_fn = get_resampler(resampler, **resampler_kwargs)
+            resample_op = local_resample_op(res_fn, n_global)
     dtype = model.G.dtype
 
     k_init, k_scan = jax.random.split(key)
     if axis_name is not None:
         k_init = jax.random.fold_in(k_init, lax.axis_index(axis_name))
-    x0 = model.sample_initial(k_init, (num_particles,))
+    if packed:
+        x0 = model.sample_initial_packed(k_init, num_particles)
+        propagate_fn = model.propagate_packed
+        logpdf_fn = model.observation_logpdf_packed
+    else:
+        x0 = model.sample_initial(k_init, (num_particles,))
+        propagate_fn = model.propagate
+        logpdf_fn = model.observation_logpdf
     logw0 = jnp.full((num_particles,), -math.log(n_global), dtype)
 
     num_steps = ys.shape[0]
     ts = jnp.arange(1, num_steps)
-    step = _step_factory(model, resample_op, ess_threshold, n_global, axis_name,
-                         return_history)
+    step = _step_factory(propagate_fn, logpdf_fn, resample_op, ess_threshold,
+                         n_global, axis_name, return_history)
     (x_f, logw_f, _), (history, esss, lzs) = lax.scan(
         step, (x0, logw0, k_scan), (ts, ys[1:]))
 
@@ -175,13 +237,18 @@ def bootstrap_filter(
     ess = jnp.concatenate([ess0[None], esss])
     log_evidence = jnp.sum(lzs)
 
+    if packed:
+        x_f = x_f.T
     if not return_history:
         return FilterResult(
             final_particles=x_f, final_log_weights=logw_f,
             ess=ess, log_evidence=log_evidence)
 
     xs, lls, ancs = history
-    particles = jnp.concatenate([x0[None], xs], axis=0)
+    x0_out = x0.T if packed else x0
+    if packed:
+        xs = jnp.swapaxes(xs, 1, 2)  # [T-1, d, N] -> [T-1, N, d]
+    particles = jnp.concatenate([x0_out[None], xs], axis=0)
     # t=0 raw weight is the uniform 1/N fill (reference mcmc.cpp:85).
     obs_loglik = jnp.concatenate([logw0[None], lls], axis=0)
     a0 = jnp.arange(num_particles, dtype=jnp.int32)

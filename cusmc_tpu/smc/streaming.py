@@ -30,6 +30,7 @@ from cusmc_tpu.smc.particle_filter import (
     FilterResult,
     _step_factory,
     local_resample_op,
+    packed_resample_op,
 )
 
 
@@ -47,6 +48,7 @@ def streaming_bootstrap_filter(
     checkpoint=None,
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
+    layout: str = "packed",
 ):
     """Run the filter over ``ys`` [T, k] in chunks of ``chunk_steps``.
 
@@ -61,10 +63,18 @@ def streaming_bootstrap_filter(
     step (particle history before the resume point is not replayed).
     """
     resampler_kwargs = resampler_kwargs or {}
-    res_fn = get_resampler(resampler, **resampler_kwargs)
-    resample_op = local_resample_op(res_fn, num_particles)
-    step = _step_factory(model, resample_op, ess_threshold, num_particles,
-                         axis_name=None, return_history=True)
+    if layout == "packed":
+        resample_op = packed_resample_op(resampler, num_particles,
+                                         **resampler_kwargs)
+        propagate_fn = model.propagate_packed
+        logpdf_fn = model.observation_logpdf_packed
+    else:
+        res_fn = get_resampler(resampler, **resampler_kwargs)
+        resample_op = local_resample_op(res_fn, num_particles)
+        propagate_fn = model.propagate
+        logpdf_fn = model.observation_logpdf
+    step = _step_factory(propagate_fn, logpdf_fn, resample_op, ess_threshold,
+                         num_particles, axis_name=None, return_history=True)
     dtype = model.G.dtype
     d = model.state_dim
     num_steps = ys.shape[0]
@@ -73,8 +83,12 @@ def streaming_bootstrap_filter(
     def run_chunk(carry, ts, ys_chunk):
         return lax.scan(step, carry, (ts, ys_chunk))
 
+    packed = layout == "packed"
     k_init, k_scan = jax.random.split(key)
-    x0 = model.sample_initial(k_init, (num_particles,))
+    if packed:
+        x0 = model.sample_initial_packed(k_init, num_particles)
+    else:
+        x0 = model.sample_initial(k_init, (num_particles,))
     logw0 = jnp.full((num_particles,), -math.log(num_particles), dtype)
     carry = (x0, logw0, k_scan)
     log_evidence = 0.0
@@ -84,16 +98,21 @@ def streaming_bootstrap_filter(
         if checkpoint is None:
             raise ValueError("resume=True requires a checkpoint")
         snap = checkpoint.restore()
-        carry = (snap["particles"].astype(dtype),
+        # Checkpoints store particles in public [N, d] layout.
+        x_r = snap["particles"].astype(dtype)
+        carry = (x_r.T if packed else x_r,
                  snap["log_weights"].astype(dtype), snap["key"])
         log_evidence = snap["log_evidence"]
         t = snap["t"] + 1
+
+    def to_rows(x):  # carry layout -> public [N, d]
+        return np.asarray(x, np.float32).T if packed else np.asarray(x, np.float32)
 
     store = None
     if store_particles:
         store = TrajectoryStore((num_particles, d), num_steps, np.float32,
                                 force_numpy=force_numpy_store)
-        store.append(np.asarray(carry[0], np.float32)[None])
+        store.append(to_rows(carry[0])[None])
 
     ess_all = [np.asarray(effective_sample_size(carry[1]))[None]]
     ys = np.asarray(ys)
@@ -108,16 +127,19 @@ def streaming_bootstrap_filter(
         ys_chunk = jnp.asarray(ys[t:t + k], dtype)
         carry, ((xs, _lls, _ancs), esss, lzs) = run_chunk(carry, ts, ys_chunk)
         if store is not None:
-            store.append(np.asarray(xs, np.float32))
+            xs_np = np.asarray(xs, np.float32)
+            store.append(np.swapaxes(xs_np, 1, 2) if packed else xs_np)
         ess_all.append(np.asarray(esss))
         log_evidence += float(jnp.sum(lzs))
         t += k
         if next_ckpt is not None and t - 1 >= next_ckpt:
             x_c, logw_c, key_c = carry
-            checkpoint.save(t - 1, x_c, logw_c, key_c, log_evidence)
+            checkpoint.save(t - 1, to_rows(x_c), logw_c, key_c, log_evidence)
             next_ckpt = t - 1 + checkpoint_every
 
     x_f, logw_f, _ = carry
+    if packed:
+        x_f = x_f.T
     result = FilterResult(
         final_particles=x_f,
         final_log_weights=logw_f,

@@ -26,6 +26,7 @@ from jax.scipy.special import gammaln
 from cusmc_tpu.distributions.mvn import mvn_logpdf, mvn_sample
 from cusmc_tpu.distributions.mvt import mvt_logpdf, mvt_sample
 from cusmc_tpu.ops.packed import matvec, quadform
+from cusmc_tpu.ops.random import fast_gamma
 from cusmc_tpu.utils.linalg import chol_sqrt, cov_sqrt
 
 
@@ -145,7 +146,9 @@ class DLM(struct.PyTreeNode):
             lz = matvec(scale, z)
             df = self.df
             shape = (d, n) if self.per_dim_chi else (1, n)
-            g = 2.0 * jax.random.gamma(kg, 0.5 * df, shape, dtype)
+            # fast_gamma: fixed-round Marsaglia-Tsang, ~40x cheaper than
+            # jax.random.gamma's rejection loop on TPU (see ops/random.py).
+            g = 2.0 * fast_gamma(kg, 0.5 * df, shape, dtype)
             return mean + lz * jnp.sqrt(df / g)
         z = jax.random.normal(key, (d, n), dtype)
         return mean + matvec(scale, z)

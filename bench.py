@@ -39,9 +39,10 @@ def main():
     _, ys = model.simulate(key, num_steps)
     ys = jnp.asarray(ys, jnp.float32)
 
+    engine = os.environ.get("BENCH_ENGINE", "auto")
     fn = jax.jit(lambda k: bootstrap_filter(
         k, model, ys, num_particles, resampler="metropolis",
-        return_history=False))
+        return_history=False, engine=engine))
 
     # Warmup/compile.
     out = fn(key)

@@ -19,7 +19,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from cusmc_tpu.models.dlm import DLM
 from cusmc_tpu.parallel.mesh import PARTICLE_AXIS
-from cusmc_tpu.parallel.resampling import allgather_resample_op
+from cusmc_tpu.parallel.resampling import (
+    allgather_resample_op,
+    roll_metropolis_sharded_op,
+)
 from cusmc_tpu.smc.particle_filter import FilterResult, bootstrap_filter
 
 try:  # jax >= 0.7 exposes shard_map at top level
@@ -52,14 +55,25 @@ def sharded_bootstrap_filter(
         raise ValueError(f"num_particles={num_particles} not divisible by "
                          f"mesh axis {axis!r} size {n_shards}")
     n_local = num_particles // n_shards
-    resample_op = allgather_resample_op(resampler, axis, num_particles,
-                                        n_local, **(resampler_kwargs or {}))
+    # Metropolis uses the gather-free rotated-window exchange (packed
+    # layout, ppermute ICI traffic ~ shard size); CDF-based resamplers use
+    # the allgather exchange (batch layout, exact global ancestry).
+    if resampler == "metropolis":
+        layout = "packed"
+        resample_op = roll_metropolis_sharded_op(
+            axis, num_particles, n_local, **(resampler_kwargs or {}))
+    else:
+        layout = "batch"
+        resample_op = allgather_resample_op(
+            resampler, axis, num_particles, n_local,
+            **(resampler_kwargs or {}))
 
     def local_filter(key, model, ys):
         return bootstrap_filter(
             key, model, ys, n_local,
             ess_threshold=ess_threshold,
             return_history=return_history,
+            layout=layout,
             axis_name=axis,
             num_particles_global=num_particles,
             resample_op=resample_op,

@@ -84,6 +84,59 @@ def make_sharded_ancestor_fn(name: str, axis_name: str, n_global: int,
     return fn
 
 
+def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
+                               num_steps: int = 10) -> Callable:
+    """Gather-free distributed Metropolis resampling in packed [d, L] layout.
+
+    One global rotation per step (2 ``ppermute`` neighbor exchanges + a
+    local roll) re-bases every shard onto a random window of the GLOBAL
+    particle array; the B Metropolis sweeps then run shard-locally with the
+    coalesced roll scheme (``cusmc_tpu.resampling.rolls``). Equivalent to
+    the windowed-Megopolis scheme with window = shard size: each chain is a
+    valid Metropolis chain over the weights, and windows re-randomize every
+    step. ICI traffic: 2 x (d+1) x L floats per step — independent of B —
+    versus the allgather exchange's N x d.
+
+    Returns GLOBAL ancestor indices like the allgather ops.
+    """
+
+    num_shards = n_global // n_local
+    log_n = math.log(n_global)
+
+    def op(key, X, logw):
+        # Common randomness across shards (key is replicated).
+        kq, kr, km = jax.random.split(key, 3)
+        q = jax.random.randint(kq, (), 0, num_shards)
+        r = jax.random.randint(kr, (), 0, n_local)
+        p = lax.axis_index(axis_name)
+
+        both = jnp.concatenate([X, logw[None, :]], axis=0)  # [d+1, L]
+
+        def from_shift(shift):
+            perm = [((s + shift) % num_shards, s) for s in range(num_shards)]
+            return lambda v: lax.ppermute(v, axis_name, perm)
+
+        branches = [from_shift(j) for j in range(num_shards)]
+        a_part = lax.switch(q, branches, both)
+        b_part = lax.switch((q + 1) % num_shards, branches, both)
+        window = jnp.concatenate([a_part, b_part], axis=1)   # [d+1, 2L]
+        rotated = lax.dynamic_slice_in_dim(window, r, n_local, axis=1)
+
+        X_rot = rotated[:-1]
+        lw_rot = rotated[-1]
+        k_shard = jax.random.fold_in(km, p)
+        from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps
+
+        x_anc, a_loc = roll_metropolis_sweeps(k_shard, X_rot, lw_rot,
+                                              num_steps)
+        # Rotated local slot j holds global particle (p*L + j + q*L + r) % N.
+        a_global = jax.lax.rem(p * n_local + a_loc + q * n_local + r,
+                               n_global)
+        return x_anc, jnp.full((n_local,), -log_n, logw.dtype), a_global
+
+    return op
+
+
 def allgather_resample_op(name: str, axis_name: str, n_global: int,
                           n_local: int, **kwargs) -> Callable:
     """A ``resample_op`` for ``bootstrap_filter`` that resolves global

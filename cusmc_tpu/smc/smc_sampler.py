@@ -1,0 +1,139 @@
+"""Adaptive tempered SMC sampler for static targets.
+
+The reference is purely a *filtering* engine (state-space models); the
+north-star scope is a general SMC/MCMC inference engine (BASELINE.json).
+This module adds the standard SMC-sampler construction (Del Moral, Doucet &
+Jasra 2006): anneal from a tractable prior to the target through a
+tempering ladder lambda: 0 -> 1, with
+
+  reweight:   logw += (lambda' - lambda) * (log target - log prior)
+  resample:   registry resampler on the tempered weights (ESS-triggered)
+  rejuvenate: K random-walk Metropolis sweeps at the current temperature
+              (reuses cusmc_tpu.mcmc.metropolis.mh_step)
+
+The next lambda is chosen adaptively by bisection so the incremental ESS
+stays near ``target_ess`` — the whole ladder runs inside ONE ``jit`` as a
+``lax.while_loop`` with a static stage cap.
+
+Returns particles ~ target, a log-normalizing-constant estimate, the
+number of stages used, and the final MH acceptance rate.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+from jax.scipy.special import logsumexp
+
+from cusmc_tpu.mcmc.metropolis import MHState, mh_step
+from cusmc_tpu.resampling import get_resampler
+
+
+class SMCSamplerResult(struct.PyTreeNode):
+    particles: jnp.ndarray       # [N, d] ~ target
+    log_weights: jnp.ndarray     # [N] normalized
+    log_evidence: jnp.ndarray    # log Z_target / Z_prior estimate
+    num_stages: jnp.ndarray      # int
+    accept_rate: jnp.ndarray     # last rejuvenation acceptance
+
+
+def _ess_at(delta, logw, log_ratio):
+    lw = logw + delta * log_ratio
+    return jnp.exp(2.0 * logsumexp(lw) - logsumexp(2.0 * lw))
+
+
+def _next_delta(logw, log_ratio, target_ess_frac, n, bisect_iters=30):
+    """Largest delta in (0, 1] with ESS(delta) >= target via bisection."""
+    target = target_ess_frac * n
+
+    def body(_, ab):
+        lo, hi = ab
+        mid = 0.5 * (lo + hi)
+        ok = _ess_at(mid, logw, log_ratio) >= target
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    full = _ess_at(1.0, logw, log_ratio) >= target
+    lo, hi = lax.fori_loop(0, bisect_iters, body,
+                           (jnp.asarray(0.0, logw.dtype),
+                            jnp.asarray(1.0, logw.dtype)))
+    return jnp.where(full, jnp.asarray(1.0, logw.dtype), lo)
+
+
+def smc_sampler(
+    key: jax.Array,
+    log_prior: Callable,
+    log_target: Callable,
+    prior_sample: Callable,
+    num_particles: int,
+    dim: int,
+    resampler: str = "systematic",
+    target_ess: float = 0.5,
+    rejuvenation_steps: int = 5,
+    step_size: float = 0.5,
+    max_stages: int = 100,
+    dtype=jnp.float32,
+) -> SMCSamplerResult:
+    """Sample a static target by tempering from the prior.
+
+    ``log_prior``/``log_target`` map [N, d] -> [N]; ``prior_sample(key,
+    (N,))`` draws [N, d]. The MH rejuvenation step size is Robbins-Monro
+    adapted across stages toward 0.234 pooled acceptance.
+    """
+    res_fn = get_resampler(resampler)
+    n = num_particles
+    k_init, k_loop = jax.random.split(key)
+    x0 = prior_sample(k_init, (n,)).astype(dtype)
+    logw0 = jnp.zeros((n,), dtype)
+
+    def tempered_logpdf(x, lam):
+        return (1.0 - lam) * log_prior(x) + lam * log_target(x)
+
+    def cond(state):
+        lam, stage, *_ = state
+        return (lam < 1.0) & (stage < max_stages)
+
+    def body(state):
+        lam, stage, x, logw, log_z, log_step, _ = state
+        k_stage = jax.random.fold_in(k_loop, stage)
+        k_res, k_mh = jax.random.split(k_stage)
+
+        log_ratio = log_target(x) - log_prior(x)
+        # delta is the absolute tempering-exponent step with ESS >= target.
+        delta = _next_delta(logw, log_ratio, target_ess, n)
+        delta = jnp.maximum(delta, 1e-4)  # guard against stalling
+        lam_new = jnp.minimum(lam + delta, 1.0)
+        step_exp = lam_new - lam
+
+        logw_unnorm = logw + step_exp * log_ratio
+        lse = logsumexp(logw_unnorm)
+        log_z = log_z + lse - logsumexp(logw)
+        logw_norm = logw_unnorm - lse
+
+        a = res_fn(k_res, logw_norm)
+        x = x[a]
+        logw_res = jnp.full((n,), -math.log(n), dtype)
+
+        mh_state = MHState(x=x, logp=tempered_logpdf(x, lam_new),
+                           log_step=log_step,
+                           accept_count=jnp.zeros((n,), dtype))
+        acc = jnp.asarray(0.0, dtype)
+        for j in range(rejuvenation_steps):
+            mh_state, acc = mh_step(
+                jax.random.fold_in(k_mh, j), mh_state,
+                lambda xx: tempered_logpdf(xx, lam_new),
+                adapt_rate=0.05)
+        return (lam_new, stage + 1, mh_state.x, logw_res, log_z,
+                mh_state.log_step, acc)
+
+    init = (jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), x0, logw0,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(math.log(step_size), dtype), jnp.asarray(0.0, dtype))
+    lam, stages, x, logw, log_z, _, acc = lax.while_loop(cond, body, init)
+    return SMCSamplerResult(
+        particles=x, log_weights=logw - logsumexp(logw),
+        log_evidence=log_z, num_stages=stages, accept_rate=acc)

@@ -21,3 +21,13 @@ from cusmc_tpu.api import (  # noqa: F401
     metropolis_hastings,
     run,
 )
+from cusmc_tpu.config import FilterConfig, run_filter  # noqa: F401
+from cusmc_tpu.models.dlm import DLM  # noqa: F401
+from cusmc_tpu.smc.kalman import kalman_filter  # noqa: F401
+from cusmc_tpu.smc.particle_filter import (  # noqa: F401
+    FilterResult,
+    bootstrap_filter,
+)
+from cusmc_tpu.smc.smc_sampler import smc_sampler  # noqa: F401
+from cusmc_tpu.smc.streaming import streaming_bootstrap_filter  # noqa: F401
+from cusmc_tpu.mcmc.metropolis import metropolis_hastings_sampler  # noqa: F401

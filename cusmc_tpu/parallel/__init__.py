@@ -7,12 +7,20 @@ from cusmc_tpu.parallel.mesh import (
     particle_sharding,
     replicated,
 )
+from cusmc_tpu.parallel.multihost import (
+    global_mesh,
+    initialize_distributed,
+    process_info,
+)
 
 __all__ = [
     "CHAIN_AXIS",
     "PARTICLE_AXIS",
+    "global_mesh",
+    "initialize_distributed",
     "make_mesh",
     "particle_sharding",
+    "process_info",
     "replicated",
     "sharded_bootstrap_filter",
     "sharded_mh_sampler",

@@ -1,0 +1,65 @@
+"""Multi-host (DCN) initialization and process-spanning meshes.
+
+The reference is strictly single-process/single-GPU (no MPI/NCCL anywhere —
+``/root/reference/src/Makevars:14``; SURVEY.md §2). The TPU-native scale-out
+path is: ``jax.distributed.initialize`` once per host process, then the SAME
+SPMD programs (``sharded_bootstrap_filter``, ``sharded_mh_sampler``) over a
+mesh spanning all hosts' devices — XLA routes intra-slice collectives over
+ICI and cross-host traffic over DCN automatically.
+
+Single-host runs need none of this; every function degrades gracefully.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialize JAX's multi-host runtime (idempotent, no-op for 1 host).
+
+    On TPU pods the three arguments auto-detect from the environment; on
+    CPU/GPU clusters pass them explicitly (coordinator "host:port"). Call
+    before any device access in every host process.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def global_mesh(axis_sizes: Optional[dict] = None) -> Mesh:
+    """Mesh over ALL devices across hosts (jax.devices() is global after
+    initialize). Defaults to one "particles" axis spanning everything."""
+    from cusmc_tpu.parallel.mesh import PARTICLE_AXIS
+
+    devices = jax.devices()
+    if axis_sizes is None:
+        axis_sizes = {PARTICLE_AXIS: len(devices)}
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes[n] for n in names)
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(f"{axis_sizes} != global device count {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(sizes), names)
+
+
+def process_info() -> dict:
+    """Host/process topology summary for logging."""
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }

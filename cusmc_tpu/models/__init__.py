@@ -1,3 +1,5 @@
+from cusmc_tpu.models.base import CustomSSM, supports_packed
 from cusmc_tpu.models.dlm import DLM
+from cusmc_tpu.models.stochvol import StochasticVolatility
 
-__all__ = ["DLM"]
+__all__ = ["CustomSSM", "DLM", "StochasticVolatility", "supports_packed"]

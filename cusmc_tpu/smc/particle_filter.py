@@ -201,8 +201,9 @@ def _pallas_step_factory(model: DLM, num_particles: int, tile: int,
     return step
 
 
-def _pallas_eligible(model: DLM, n: int, tile: int) -> bool:
-    return (max(model.state_dim, model.obs_dim) <= MAX_UNROLL_DIM
+def _pallas_eligible(model, n: int, tile: int) -> bool:
+    return (isinstance(model, DLM)
+            and max(model.state_dim, model.obs_dim) <= MAX_UNROLL_DIM
             and n % tile == 0 and n >= 2 * tile and not model.per_dim_chi)
 
 
@@ -243,12 +244,20 @@ def bootstrap_filter(
     Under ``shard_map`` pass ``axis_name`` (the particle mesh axis) and the
     global N via ``num_particles_global``; ``num_particles`` is then local.
     """
+    from cusmc_tpu.models.base import supports_packed
+
     resampler_kwargs = resampler_kwargs or {}
     n_global = num_particles_global or num_particles
     if layout == "auto":
-        layout = "batch" if resample_op is not None else "packed"
+        if resample_op is not None or not supports_packed(model):
+            layout = "batch"
+        else:
+            layout = "packed"
     if layout not in ("packed", "batch"):
         raise ValueError(f"unknown layout {layout!r}")
+    if layout == "packed" and not supports_packed(model):
+        raise ValueError("model has no packed-layout methods; use "
+                         "layout='batch'")
     packed = layout == "packed"
 
     # Default engine is the XLA packed path: measured FASTER than the fused
@@ -276,7 +285,6 @@ def bootstrap_filter(
         else:
             res_fn = get_resampler(resampler, **resampler_kwargs)
             resample_op = local_resample_op(res_fn, n_global)
-    dtype = model.G.dtype
 
     k_init, k_scan = jax.random.split(key)
     if axis_name is not None:
@@ -289,7 +297,7 @@ def bootstrap_filter(
         x0 = model.sample_initial(k_init, (num_particles,))
         propagate_fn = model.propagate
         logpdf_fn = model.observation_logpdf
-    logw0 = jnp.full((num_particles,), -math.log(n_global), dtype)
+    logw0 = jnp.full((num_particles,), -math.log(n_global), x0.dtype)
 
     num_steps = ys.shape[0]
     ts = jnp.arange(1, num_steps)

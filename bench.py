@@ -33,9 +33,15 @@ def main():
     d = int(os.environ.get("BENCH_D", 2))
 
     params = demo_model_params(d=d)
-    model = DLM.create(noise="mvt", df=5.0, dtype=jnp.float32, **params)
+    noise = os.environ.get("BENCH_NOISE", "mvt")
+    model = DLM.create(noise=noise, df=5.0 if noise == "mvt" else None,
+                       dtype=jnp.float32, **params)
     # Synthetic observations suffice for throughput (same compute path).
-    key = jax.random.key(0)
+    # BENCH_IMPL selects the PRNG ("rbg" = hardware generator, ~2x cheaper
+    # than threefry on TPU and the default here; "threefry" for the
+    # portable counter-based stream).
+    impl = os.environ.get("BENCH_IMPL", "rbg")
+    key = jax.random.key(0, impl=impl)
     _, ys = model.simulate(key, num_steps)
     ys = jnp.asarray(ys, jnp.float32)
 

@@ -89,6 +89,21 @@ def load_y_sim(path: Optional[str] = None) -> np.ndarray:
     return load_csv(path)
 
 
+def write_sim_output(out_dir: str, prior_x: np.ndarray, ys: np.ndarray,
+                     weights: np.ndarray, posterior_x: np.ndarray,
+                     p: int = 0) -> None:
+    """Export a simulated run's traces; mirrors ``writeOutput_ysim``
+    (``src/io.cpp:45-87``): latent prior path, observations, and tracked
+    posterior-particle trajectory."""
+    os.makedirs(out_dir, exist_ok=True)
+    prior_x = np.asarray(prior_x)
+    d = prior_x.shape[1]
+    header = ",".join(f"x{j}" for j in range(d))
+    np.savetxt(os.path.join(out_dir, "prior_x_t.csv"), prior_x,
+               delimiter=",", header=header, comments="", fmt="%.6g")
+    write_output(out_dir, ys, weights, posterior_x, p)
+
+
 def write_output(out_dir: str, ys: np.ndarray, weights: np.ndarray,
                  posterior_x: np.ndarray, p: int = 0) -> None:
     """Export run results; mirrors ``writeOutput`` (``src/io.cpp:7-43``):

@@ -69,7 +69,7 @@ class FilterResult(struct.PyTreeNode):
 def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
                   resample_op: Callable, ess_threshold: Optional[float],
                   num_particles_global: int, axis_name: Optional[str],
-                  return_history: bool = True):
+                  return_history: bool = True, debug_checks: bool = False):
     """Build the scan body (layout-agnostic: ``x`` is whatever
     ``propagate_fn``/``resample_op`` operate on).
 
@@ -118,6 +118,10 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
         ll = logpdf_fn(y_t, x_new)
 
         logw_new, lz_inc = log_normalize(logw_pre + ll, axis_name)
+        if debug_checks:
+            from cusmc_tpu.utils.debug import assert_finite_weights
+
+            assert_finite_weights(logw_new, t)
         carry = (x_new, logw_new, key)
         history = (x_new, ll, a) if return_history else ()
         return carry, (history, ess, lz_inc)
@@ -223,6 +227,7 @@ def bootstrap_filter(
     axis_name: Optional[str] = None,
     num_particles_global: Optional[int] = None,
     resample_op: Optional[Callable] = None,
+    debug_checks: bool = False,
 ) -> FilterResult:
     """Run the bootstrap filter on observations ``ys`` [T, k].
 
@@ -309,7 +314,7 @@ def bootstrap_filter(
     else:
         step = _step_factory(propagate_fn, logpdf_fn, resample_op,
                              ess_threshold, n_global, axis_name,
-                             return_history)
+                             return_history, debug_checks)
     (x_f, logw_f, _), (history, esss, lzs) = lax.scan(
         step, (x0, logw0, k_scan), (ts, ys[1:]))
 

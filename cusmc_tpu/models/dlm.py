@@ -95,6 +95,23 @@ class DLM(struct.PyTreeNode):
         mean = x_prev @ self.G.T
         return self._sample(key, mean, self.W_sqrt, x_prev.shape[:-1])
 
+    def propagate_mean(self, x_prev: jnp.ndarray) -> jnp.ndarray:
+        """E[x_t | x_{t-1}] — the APF lookahead point (smc/apf.py)."""
+        return x_prev @ self.G.T
+
+    def lookahead_logpdf(self, y: jnp.ndarray, x_prev: jnp.ndarray) -> jnp.ndarray:
+        """EXACT predictive log p(y_t | x_{t-1}) = N(y; F G x, F W F' + V)
+        (Gaussian case) — gives the fully-adapted APF first stage
+        (smc/apf.py), which strictly reduces weight variance vs the point
+        lookahead. For MVT noise this Gaussian form is an approximation
+        (moment-matched up to the df scale); still a valid lookahead since
+        the second-stage weight corrects any first-stage choice exactly."""
+        pred_cov = self.F @ self.W_sqrt @ self.W_sqrt.T @ self.F.T \
+            + self.V_chol @ self.V_chol.T
+        chol = jnp.linalg.cholesky(pred_cov)
+        return mvn_logpdf(y - self.propagate_mean(x_prev) @ self.F.T,
+                          0.0, chol)
+
     def observation_logpdf(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """log p(y | x) = log Dist(y - F x; 0, V) for batched x [..., d]
         (reference reweight_G, CPU form at mcmc.cpp:212) — in log space."""

@@ -60,6 +60,10 @@ class StochasticVolatility(struct.PyTreeNode):
         z = jax.random.normal(key, x_prev.shape, x_prev.dtype)
         return self.mu + self.phi * (x_prev - self.mu) + self.sigma * z
 
+    def propagate_mean(self, x_prev):
+        """E[x_t | x_{t-1}] — the APF lookahead point (smc/apf.py)."""
+        return self.mu + self.phi * (x_prev - self.mu)
+
     def observation_logpdf(self, y, x):
         # y scalar or [1]; x [..., 1]. log N(y; 0, beta^2 exp(x)).
         log_var = 2.0 * jnp.log(self.beta) + x[..., 0]

@@ -13,7 +13,7 @@ dependency-light (both write the same logical state).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

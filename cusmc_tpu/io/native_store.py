@@ -11,7 +11,7 @@ numpy. Replaces the reference's full-history Eigen buffers
 from __future__ import annotations
 
 import ctypes
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

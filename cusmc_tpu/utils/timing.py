@@ -20,7 +20,7 @@ from __future__ import annotations
 import contextlib
 import time
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,11 +1,13 @@
 from cusmc_tpu.diagnostics.metrics import (
     effective_sample_size,
+    filter_diagnostics,
     log_normalize,
     unique_ancestor_fraction,
 )
 
 __all__ = [
     "effective_sample_size",
+    "filter_diagnostics",
     "log_normalize",
     "unique_ancestor_fraction",
 ]

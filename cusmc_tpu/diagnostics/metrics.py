@@ -44,3 +44,19 @@ def unique_ancestor_fraction(ancestors: jnp.ndarray) -> jnp.ndarray:
     n = ancestors.shape[-1]
     counts = jnp.zeros((n,), jnp.int32).at[ancestors].add(1)
     return jnp.sum(counts > 0) / n
+
+
+def filter_diagnostics(result) -> dict:
+    """Post-hoc observability summary of a FilterResult (SURVEY.md §5
+    metrics the reference never computes): per-step ESS, per-step
+    unique-ancestor fractions (when history was kept), final-weight ESS,
+    and the log-evidence estimate."""
+    out = {
+        "ess": result.ess,
+        "log_evidence": result.log_evidence,
+        "final_ess": effective_sample_size(result.final_log_weights),
+    }
+    if result.ancestors is not None:
+        out["unique_ancestor_fraction"] = jax.vmap(
+            unique_ancestor_fraction)(result.ancestors)
+    return out

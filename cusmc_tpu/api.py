@@ -93,7 +93,8 @@ def run(N: int, d: int, timeSteps: int, Y, m0, C0, F, G, V, W,
         distribution: str = "mvn", p: int = 0,
         key: KeyLike = None, output_dir: Optional[str] = None,
         ess_threshold: Optional[float] = None, dtype=jnp.float32,
-        sqrt_method: str = "cholesky", return_diagnostics: bool = False):
+        sqrt_method: str = "cholesky", return_diagnostics: bool = False,
+        engine: str = "auto", B: int = 10):
     """Full bootstrap particle-filter run; mirrors ``CuSMC::run``
     (``src/run.rcpp.cpp:58-126``, R wrapper ``R/RcppExports.R:66-84``).
 
@@ -120,9 +121,11 @@ def run(N: int, d: int, timeSteps: int, Y, m0, C0, F, G, V, W,
     model = DLM.create(F=F, G=G, m0=m0, C0=C0, V=V, W=W,
                        df=df if distribution == "mvt" else None,
                        noise=distribution, sqrt_method=sqrt_method, dtype=dtype)
+    resampler_kwargs = {"num_steps": B} if resampler == "metropolis" else None
     result = bootstrap_filter(
         _as_key(key), model, jnp.asarray(ys, dtype), N,
-        resampler=resampler, ess_threshold=ess_threshold, return_history=True)
+        resampler=resampler, resampler_kwargs=resampler_kwargs,
+        ess_threshold=ess_threshold, return_history=True, engine=engine)
 
     weights = jnp.exp(result.obs_loglik)  # raw densities, parity with w_t
     out = {

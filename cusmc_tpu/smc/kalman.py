@@ -50,3 +50,28 @@ def kalman_filter(ys, F, G, V, W, m0, C0):
     means = jnp.concatenate([m0[None], ms], axis=0)
     covs = jnp.concatenate([C0[None], cs], axis=0)
     return means, covs, loglik
+
+
+def rts_smoother(ys, F, G, V, W, m0, C0):
+    """Rauch-Tung-Striebel smoother: exact E[x_t | y_{1:T}] for the
+    linear-Gaussian DLM — the oracle for particle smoothers
+    (tests/test_ffbs.py). Returns (smoothed means [T, d], covs [T, d, d]).
+    """
+    means, covs, _ = kalman_filter(ys, F, G, V, W, m0, C0)
+    G = jnp.asarray(G, means.dtype)
+    W = jnp.asarray(W, means.dtype)
+
+    def back(carry, mc):
+        m_next_s, c_next_s = carry
+        m_t, c_t = mc
+        pred_cov = G @ c_t @ G.T + W
+        gain = jnp.linalg.solve(pred_cov, G @ c_t).T
+        m_s = m_t + gain @ (m_next_s - G @ m_t)
+        c_s = c_t + gain @ (c_next_s - pred_cov) @ gain.T
+        return (m_s, c_s), (m_s, c_s)
+
+    (m0_s, c0_s), (ms_rev, cs_rev) = lax.scan(
+        back, (means[-1], covs[-1]), (means[:-1][::-1], covs[:-1][::-1]))
+    sm = jnp.concatenate([ms_rev[::-1], means[-1][None]], axis=0)
+    sc = jnp.concatenate([cs_rev[::-1], covs[-1][None]], axis=0)
+    return sm, sc

@@ -14,21 +14,12 @@ from cusmc_tpu.smc.kalman import kalman_filter
 from cusmc_tpu.smc.particle_filter import bootstrap_filter
 
 
+from cusmc_tpu.smc.kalman import rts_smoother as _rts
+
+
 def rts_smoother(ys, F, G, V, W, m0, C0):
-    """Rauch-Tung-Striebel smoother (exact oracle for tests)."""
-    means, covs, _ = kalman_filter(ys, F, G, V, W, m0, C0)
-    means, covs = np.asarray(means), np.asarray(covs)
-    G = np.asarray(G, np.float64)
-    W = np.asarray(W, np.float64)
-    T = means.shape[0]
-    sm = means.copy()
-    sc = covs.copy()
-    for t in range(T - 2, -1, -1):
-        pred_cov = G @ covs[t] @ G.T + W
-        gain = covs[t] @ G.T @ np.linalg.inv(pred_cov)
-        sm[t] = means[t] + gain @ (sm[t + 1] - G @ means[t])
-        sc[t] = covs[t] + gain @ (sc[t + 1] - pred_cov) @ gain.T
-    return sm, sc
+    sm, sc = _rts(ys, F, G, V, W, m0, C0)
+    return np.asarray(sm), np.asarray(sc)
 
 
 @pytest.fixture(scope="module")

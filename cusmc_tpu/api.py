@@ -111,13 +111,15 @@ def run(N: int, d: int, timeSteps: int, Y, m0, C0, F, G, V, W,
     like ``writeOutput`` (``src/io.cpp:7-43``).
     """
     Y = np.asarray(Y)
-    if Y.shape == (d, timeSteps):
+    k_obs = np.asarray(F).shape[0]  # observation dim (may differ from d)
+    if Y.shape == (k_obs, timeSteps):
         ys = Y.T
-    elif Y.shape == (timeSteps, d):
+    elif Y.shape == (timeSteps, k_obs):
         ys = Y
     else:
-        raise ValueError(f"Y shape {Y.shape} matches neither (d,T)=({d},{timeSteps})"
-                         f" nor (T,d)")
+        raise ValueError(
+            f"Y shape {Y.shape} matches neither (k,T)=({k_obs},{timeSteps}) "
+            f"nor (T,k)")
     model = DLM.create(F=F, G=G, m0=m0, C0=C0, V=V, W=W,
                        df=df if distribution == "mvt" else None,
                        noise=distribution, sqrt_method=sqrt_method, dtype=dtype)

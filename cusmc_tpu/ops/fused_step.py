@@ -209,6 +209,10 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
     k = F.shape[0]
     if n % tile != 0:
         raise ValueError(f"N={n} not divisible by tile={tile}")
+    if tile % 128 != 0:
+        # ws = i*tile + s must be lane-aligned; pl.multiple_of is an
+        # UNCHECKED promise to Mosaic, so enforce it here.
+        raise ValueError(f"tile={tile} must be a multiple of 128")
     if max(d, k) > MAX_UNROLL_DIM:
         raise ValueError(f"fused step supports d,k <= {MAX_UNROLL_DIM}")
 

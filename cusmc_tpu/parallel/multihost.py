@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 
@@ -43,16 +42,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 def global_mesh(axis_sizes: Optional[dict] = None) -> Mesh:
     """Mesh over ALL devices across hosts (jax.devices() is global after
     initialize). Defaults to one "particles" axis spanning everything."""
-    from cusmc_tpu.parallel.mesh import PARTICLE_AXIS
+    from cusmc_tpu.parallel.mesh import make_mesh
 
-    devices = jax.devices()
-    if axis_sizes is None:
-        axis_sizes = {PARTICLE_AXIS: len(devices)}
-    names = tuple(axis_sizes)
-    sizes = tuple(axis_sizes[n] for n in names)
-    if int(np.prod(sizes)) != len(devices):
-        raise ValueError(f"{axis_sizes} != global device count {len(devices)}")
-    return Mesh(np.asarray(devices).reshape(sizes), names)
+    return make_mesh(axis_sizes)
 
 
 def process_info() -> dict:

@@ -90,7 +90,10 @@ def auxiliary_filter(
         lz_inc = lse_v + lse_w - math.log(n)
 
         carry = (x_new, logw_new, key)
-        history = (x_new, ll, a) if return_history else ()
+        # History stores the TRUE per-step filter log-weights (ll - look[a]),
+        # not the raw observation loglik: downstream consumers (posterior
+        # means, ffbs) reconstruct weights from this field.
+        history = (x_new, logw_raw, a) if return_history else ()
         return carry, (history, ess, lz_inc)
 
     num_steps = ys.shape[0]

@@ -39,7 +39,9 @@ def _dlm_transition_logpdf(model: DLM, x_next: jnp.ndarray,
     Quadform expansion: |Li(a - b)|^2 = |Li a|^2 - 2 (Li a)·(Li b) + |Li b|^2
     — the cross term is ONE [M,d]x[d,N] matmul (MXU).
     """
-    w_chol = model.W_sqrt  # lower-triangular when sqrt_method="cholesky"
+    # W_sqrt is any square root (eigh roots are NOT triangular); rebuild a
+    # genuine Cholesky factor from W = W_sqrt W_sqrt^T for the solves.
+    w_chol = jnp.linalg.cholesky(model.W_sqrt @ model.W_sqrt.T)
     za = tri_solve(w_chol, x_next)            # [M, d]
     zb = tri_solve(w_chol, x_prev @ model.G.T)  # [N, d]
     cross = za @ zb.T                          # [M, N] (MXU)

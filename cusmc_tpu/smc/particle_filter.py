@@ -95,8 +95,13 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
             return resample_op(k_res, x, logw)
 
         def skip_resample(_):
+            # Identity ancestry in GLOBAL indices (sharded resample ops
+            # record global slots; the skip branch must match).
             n_local = logw.shape[0]
-            return x, logw, jnp.arange(n_local, dtype=jnp.int32)
+            slots = jnp.arange(n_local, dtype=jnp.int32)
+            if axis_name is not None:
+                slots = slots + lax.axis_index(axis_name) * n_local
+            return x, logw, slots
 
         if ess_threshold is None:
             x_anc, logw_pre, a = do_resample(None)
@@ -206,9 +211,23 @@ def _pallas_step_factory(model: DLM, num_particles: int, tile: int,
 
 
 def _pallas_eligible(model, n: int, tile: int) -> bool:
-    return (isinstance(model, DLM)
+    if not (isinstance(model, DLM)
             and max(model.state_dim, model.obs_dim) <= MAX_UNROLL_DIM
-            and n % tile == 0 and n >= 2 * tile and not model.per_dim_chi)
+            and n % tile == 0 and n >= 2 * tile and tile % 128 == 0
+            and not model.per_dim_chi):
+        return False
+    if model.noise == "mvt":
+        # The in-kernel Marsaglia-Tsang sampler has no alpha<1 boost:
+        # require df >= 2 (alpha = df/2 >= 1). Traced df can't be checked
+        # here -> not eligible.
+        if isinstance(model.df, jax.core.Tracer):
+            return False
+        try:
+            if float(model.df) < 2.0:
+                return False
+        except Exception:
+            return False
+    return True
 
 
 def bootstrap_filter(
@@ -280,8 +299,9 @@ def bootstrap_filter(
                              "and a single shard")
         if not _pallas_eligible(model, num_particles, pallas_tile):
             raise ValueError(
-                f"pallas engine needs d,k <= {MAX_UNROLL_DIM}, N a multiple "
-                f"of tile={pallas_tile} (and >= 2 tiles), standard MVT")
+                f"pallas engine needs a DLM with d,k <= {MAX_UNROLL_DIM}, "
+                f"N a multiple of tile={pallas_tile} (and >= 2 tiles), tile "
+                f"a multiple of 128, standard MVT with concrete df >= 2")
 
     if engine != "pallas" and resample_op is None:
         if packed:
@@ -337,6 +357,8 @@ def bootstrap_filter(
     # t=0 raw weight is the uniform 1/N fill (reference mcmc.cpp:85).
     obs_loglik = jnp.concatenate([logw0[None], lls], axis=0)
     a0 = jnp.arange(num_particles, dtype=jnp.int32)
+    if axis_name is not None:  # global slots, matching sharded resample ops
+        a0 = a0 + lax.axis_index(axis_name) * num_particles
     ancestors = jnp.concatenate([a0[None], ancs], axis=0)
     return FilterResult(
         final_particles=x_f, final_log_weights=logw_f,

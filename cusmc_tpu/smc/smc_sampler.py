@@ -43,8 +43,9 @@ class SMCSamplerResult(struct.PyTreeNode):
 
 
 def _ess_at(delta, logw, log_ratio):
-    lw = logw + delta * log_ratio
-    return jnp.exp(2.0 * logsumexp(lw) - logsumexp(2.0 * lw))
+    from cusmc_tpu.diagnostics.metrics import effective_sample_size
+
+    return effective_sample_size(logw + delta * log_ratio)
 
 
 def _next_delta(logw, log_ratio, target_ess_frac, n, bisect_iters=30):

@@ -60,9 +60,16 @@ def streaming_bootstrap_filter(
     ``checkpoint`` (a ``cusmc_tpu.checkpoint.FilterCheckpoint``) snapshots
     the carry every ``checkpoint_every`` steps (default: every chunk);
     ``resume=True`` restores the latest snapshot and continues from its
-    step (particle history before the resume point is not replayed).
+    step. Particle history before the resume point is NOT replayed: the
+    store's row i then corresponds to timestep ``store.start_step + i``
+    (0 for fresh runs), and the returned ``ess`` likewise starts at the
+    resume point.
     """
+    from cusmc_tpu.models.base import supports_packed
+
     resampler_kwargs = resampler_kwargs or {}
+    if layout == "packed" and not supports_packed(model):
+        layout = "batch"
     if layout == "packed":
         resample_op = packed_resample_op(resampler, num_particles,
                                          **resampler_kwargs)
@@ -112,6 +119,9 @@ def streaming_bootstrap_filter(
     if store_particles:
         store = TrajectoryStore((num_particles, d), num_steps, np.float32,
                                 force_numpy=force_numpy_store)
+        # Row i of the store corresponds to timestep start_step + i (on a
+        # resumed run history before the snapshot is not replayed).
+        store.start_step = t - 1
         store.append(to_rows(carry[0])[None])
 
     ess_all = [np.asarray(effective_sample_size(carry[1]))[None]]

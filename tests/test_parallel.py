@@ -81,6 +81,24 @@ def test_sharded_vs_single_device_log_evidence(demo, mesh, key):
         0.02 * abs(float(single.log_evidence))
 
 
+def test_sharded_skip_branch_global_ancestry(demo, mesh, key):
+    # Regression: when ESS-adaptive resampling SKIPS, the identity ancestry
+    # must be recorded in GLOBAL indices (matching the sharded resample
+    # ops), not shard-local ones.
+    params, _, ys = demo
+    # Flat likelihood (huge V) -> ESS stays ~N -> resampling never fires.
+    flat = dict(params, V=100.0 * np.eye(2))
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **flat)
+    n = 1024
+    res = sharded_bootstrap_filter(key, model, ys[:21], n, mesh,
+                                   resampler="systematic",
+                                   ess_threshold=0.5,
+                                   return_history=True)
+    a = np.asarray(res.ancestors)
+    np.testing.assert_array_equal(
+        a[1:], np.broadcast_to(np.arange(n), (20, n)))
+
+
 def test_sharded_adaptive_resampling(demo, mesh, key):
     _, model, ys = demo
     result = sharded_bootstrap_filter(key, model, ys[:101], 1024, mesh,

@@ -13,6 +13,7 @@ from typing import Callable, Dict
 
 from cusmc_tpu.resampling.classic import (
     multinomial_ancestors,
+    residual_ancestors,
     stratified_ancestors,
     systematic_ancestors,
 )
@@ -40,6 +41,7 @@ register_resampler("metropolis", metropolis_ancestors)
 register_resampler("systematic", systematic_ancestors)
 register_resampler("stratified", stratified_ancestors)
 register_resampler("multinomial", multinomial_ancestors)
+register_resampler("residual", residual_ancestors)
 
 __all__ = [
     "RESAMPLERS",
@@ -49,4 +51,5 @@ __all__ = [
     "systematic_ancestors",
     "stratified_ancestors",
     "multinomial_ancestors",
+    "residual_ancestors",
 ]

@@ -49,3 +49,33 @@ def multinomial_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarr
     """IID draws from the weight distribution (highest variance, simplest)."""
     n = log_weights.shape[0]
     return jax.random.categorical(key, log_weights, shape=(n,)).astype(jnp.int32)
+
+
+def residual_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:
+    """Residual resampling (Liu & Chen 1998): particle i is copied
+    ``floor(N*w_i)`` times deterministically; the remaining
+    ``R = N - sum(floor(N*w_i))`` slots are filled by multinomial draws from
+    the residual weights ``N*w_i - floor(N*w_i)``. Variance below
+    multinomial, randomness below stratified.
+
+    Static-shape formulation (jit/scan-safe): both the deterministic
+    inverse-CDF over the copy counts and the residual categorical draws are
+    computed for all N slots, then selected by slot index against the
+    (traced) deterministic count.
+    """
+    n = log_weights.shape[0]
+    w = _normalized_weights(log_weights)
+    nw = n * w
+    counts = jnp.floor(nw)
+    n_det = counts.sum().astype(jnp.int32)  # traced; <= n
+    # Deterministic slots j < n_det: ancestor = inverse CDF of copy counts.
+    ccum = jnp.cumsum(counts)
+    slots = jnp.arange(n)
+    det = jnp.searchsorted(ccum, slots.astype(ccum.dtype), side="right")
+    det = jnp.minimum(det, n - 1).astype(jnp.int32)
+    # Residual slots j >= n_det: multinomial on the fractional parts.
+    # tiny floor keeps the categorical defined when every weight is an
+    # exact multiple of 1/N (all residuals zero -> any index is fine).
+    resid = jnp.maximum(nw - counts, jnp.finfo(w.dtype).tiny)
+    res = jax.random.categorical(key, jnp.log(resid), shape=(n,)).astype(jnp.int32)
+    return jnp.where(slots < n_det, det, res)

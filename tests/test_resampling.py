@@ -59,6 +59,25 @@ class TestResamplers:
         assert (counts >= np.floor(expect) - 1e-9).all()
         assert (counts <= np.ceil(expect) + 1e-9).all()
 
+    def test_residual_deterministic_floor(self, key):
+        # Residual resampling copies particle i at least floor(n*w_i) times.
+        n = 128
+        rng = np.random.default_rng(2)
+        w = rng.random(n) + 0.01
+        w /= w.sum()
+        a = get_resampler("residual")(key, jnp.log(jnp.asarray(w)))
+        counts = offspring_counts(a, n)
+        assert (counts >= np.floor(n * w) - 1e-9).all()
+
+    def test_residual_exact_multiples_all_deterministic(self, key):
+        # Weights that are exact multiples of 1/n leave no residual mass;
+        # the outcome is fully deterministic: counts == n*w exactly.
+        w = np.array([0.5, 0.25, 0.25, 0.0])  # 4*w = [2, 1, 1, 0]
+        logw = jnp.log(jnp.asarray(np.maximum(w, 1e-300)))
+        a = get_resampler("residual")(key, logw)
+        counts = offspring_counts(a, 4)
+        np.testing.assert_array_equal(counts, (4 * w).astype(int))
+
     def test_metropolis_uniform_weights_keeps_diversity(self, key):
         # With uniform weights every proposal is accepted; ancestors are
         # uniform draws, and the chain must not collapse to one index.

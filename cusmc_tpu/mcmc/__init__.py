@@ -1,3 +1,11 @@
+from cusmc_tpu.mcmc.adaptive import AMResult, AMState, adaptive_mh_sampler
+from cusmc_tpu.mcmc.mala import (
+    MALAResult,
+    MALAState,
+    mala_init,
+    mala_sampler,
+    mala_step,
+)
 from cusmc_tpu.mcmc.metropolis import (
     MHResult,
     MHState,
@@ -7,8 +15,16 @@ from cusmc_tpu.mcmc.metropolis import (
 )
 
 __all__ = [
+    "AMResult",
+    "AMState",
+    "MALAResult",
+    "MALAState",
     "MHResult",
     "MHState",
+    "adaptive_mh_sampler",
+    "mala_init",
+    "mala_sampler",
+    "mala_step",
     "metropolis_hastings_sampler",
     "mh_init",
     "mh_step",

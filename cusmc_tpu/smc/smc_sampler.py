@@ -30,6 +30,7 @@ from flax import struct
 from jax import lax
 from jax.scipy.special import logsumexp
 
+from cusmc_tpu.mcmc.mala import MALAState, _value_and_grad_batched, mala_step
 from cusmc_tpu.mcmc.metropolis import MHState, mh_step
 from cusmc_tpu.resampling import get_resampler
 
@@ -75,6 +76,7 @@ def smc_sampler(
     resampler: str = "systematic",
     target_ess: float = 0.5,
     rejuvenation_steps: int = 5,
+    rejuvenation: str = "rwm",
     step_size: float = 0.5,
     max_stages: int = 100,
     dtype=jnp.float32,
@@ -82,9 +84,14 @@ def smc_sampler(
     """Sample a static target by tempering from the prior.
 
     ``log_prior``/``log_target`` map [N, d] -> [N]; ``prior_sample(key,
-    (N,))`` draws [N, d]. The MH rejuvenation step size is Robbins-Monro
-    adapted across stages toward 0.234 pooled acceptance.
+    (N,))`` draws [N, d]. ``rejuvenation`` selects the move kernel:
+    "rwm" (random-walk Metropolis, step size Robbins-Monro adapted toward
+    0.234 pooled acceptance) or "mala" (Langevin proposal using gradients
+    of the tempered density, adapted toward 0.574 — requires differentiable
+    log_prior/log_target).
     """
+    if rejuvenation not in ("rwm", "mala"):
+        raise ValueError(f"unknown rejuvenation kernel {rejuvenation!r}")
     res_fn = get_resampler(resampler)
     n = num_particles
     k_init, k_loop = jax.random.split(key)
@@ -119,17 +126,26 @@ def smc_sampler(
         x = x[a]
         logw_res = jnp.full((n,), -math.log(n), dtype)
 
-        mh_state = MHState(x=x, logp=tempered_logpdf(x, lam_new),
-                           log_step=log_step,
-                           accept_count=jnp.zeros((n,), dtype))
+        logpdf_now = lambda xx: tempered_logpdf(xx, lam_new)
         acc = jnp.asarray(0.0, dtype)
-        for j in range(rejuvenation_steps):
-            mh_state, acc = mh_step(
-                jax.random.fold_in(k_mh, j), mh_state,
-                lambda xx: tempered_logpdf(xx, lam_new),
-                adapt_rate=0.05)
-        return (lam_new, stage + 1, mh_state.x, logw_res, log_z,
-                mh_state.log_step, acc)
+        if rejuvenation == "mala":
+            logp0, grad0 = _value_and_grad_batched(logpdf_now)(x)
+            mv_state = MALAState(x=x, logp=logp0, grad=grad0,
+                                 log_step=log_step,
+                                 accept_count=jnp.zeros((n,), dtype))
+            for j in range(rejuvenation_steps):
+                mv_state, acc = mala_step(
+                    jax.random.fold_in(k_mh, j), mv_state, logpdf_now,
+                    adapt_rate=0.05)
+        else:
+            mv_state = MHState(x=x, logp=logpdf_now(x), log_step=log_step,
+                               accept_count=jnp.zeros((n,), dtype))
+            for j in range(rejuvenation_steps):
+                mv_state, acc = mh_step(
+                    jax.random.fold_in(k_mh, j), mv_state, logpdf_now,
+                    adapt_rate=0.05)
+        return (lam_new, stage + 1, mv_state.x, logw_res, log_z,
+                mv_state.log_step, acc)
 
     init = (jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), x0, logw0,
             jnp.asarray(0.0, dtype),

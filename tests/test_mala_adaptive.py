@@ -1,0 +1,108 @@
+"""MALA and adaptive-Metropolis tests: moment recovery, detailed-balance
+sanity via a correlated target, adaptation behavior, reproducibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cusmc_tpu.distributions import mvn_logpdf_cov
+from cusmc_tpu.mcmc import adaptive_mh_sampler, mala_sampler
+
+
+def correlated_gaussian(d=4, rho=0.8, seed=0):
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal(d).astype(np.float32)
+    cov = (rho * np.ones((d, d)) + (1 - rho) * np.eye(d)).astype(np.float32)
+    logp = lambda x: mvn_logpdf_cov(x, jnp.asarray(mu), jnp.asarray(cov))
+    return mu, cov, logp
+
+
+class TestMALA:
+    def test_mvn_target_moments(self, key):
+        d, chains, steps = 4, 64, 3000
+        mu, cov, logp = correlated_gaussian(d)
+        init = jax.random.normal(key, (chains, d), jnp.float32)
+        res = jax.jit(lambda k: mala_sampler(k, logp, init, steps))(key)
+        samples = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
+        np.testing.assert_allclose(samples.mean(0), mu, atol=0.15)
+        np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.35)
+
+    def test_adaptation_hits_target(self, key):
+        d, chains, steps = 8, 32, 2000
+        _, _, logp = correlated_gaussian(d, rho=0.0)
+        init = jnp.zeros((chains, d), jnp.float32)
+        res = mala_sampler(key, logp, init, steps, step_size=1e-3,
+                           adapt_rate=0.1)
+        # Second-half acceptance should sit near the MALA optimum 0.574.
+        assert 0.35 < float(res.accept_rate) < 0.85
+
+    def test_beats_rwm_mixing_on_narrow_target(self, key):
+        # On a well-conditioned Gaussian, MALA's effective step is larger:
+        # lag-1 autocorrelation of the chain mean should be lower than RWM's
+        # at matched acceptance. Smoke-level check: MALA moves further.
+        from cusmc_tpu.mcmc import metropolis_hastings_sampler
+
+        d, chains, steps = 16, 16, 800
+        _, _, logp = correlated_gaussian(d, rho=0.0)
+        init = jnp.zeros((chains, d), jnp.float32)
+        mala = mala_sampler(key, logp, init, steps)
+        rwm = metropolis_hastings_sampler(key, logp, init, steps)
+        sq_jump = lambda s: float(np.mean(np.sum(np.diff(
+            np.asarray(s.samples[steps // 2:]), axis=0) ** 2, axis=-1)))
+        assert sq_jump(mala) > sq_jump(rwm)
+
+    def test_reproducible_jit(self, key):
+        d = 3
+        _, _, logp = correlated_gaussian(d)
+        init = jnp.ones((4, d), jnp.float32)
+        r1 = mala_sampler(key, logp, init, 150)
+        r2 = jax.jit(lambda k: mala_sampler(k, logp, init, 150))(key)
+        np.testing.assert_allclose(np.asarray(r1.state.x),
+                                   np.asarray(r2.state.x),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestAdaptiveMH:
+    def test_learns_correlated_covariance(self, key):
+        # Strongly correlated target: AM must learn the off-diagonal
+        # structure; its learned proposal covariance should show the same
+        # correlation sign/pattern as the target.
+        d, chains, steps = 4, 128, 3000
+        mu, cov, logp = correlated_gaussian(d, rho=0.85, seed=1)
+        init = jax.random.normal(key, (chains, d), jnp.float32)
+        res = jax.jit(lambda k: adaptive_mh_sampler(k, logp, init, steps))(key)
+        samples = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
+        np.testing.assert_allclose(samples.mean(0), mu, atol=0.2)
+        np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.4)
+        learned = np.asarray(res.proposal_cov) / (2.38**2 / d)
+        corr = learned / np.sqrt(np.outer(np.diag(learned),
+                                          np.diag(learned)))
+        assert corr[0, 1] > 0.4  # target rho = 0.85
+
+    def test_acceptance_near_target(self, key):
+        d, chains, steps = 8, 64, 2500
+        _, _, logp = correlated_gaussian(d, rho=0.5, seed=2)
+        init = jax.random.normal(key, (chains, d), jnp.float32)
+        res = adaptive_mh_sampler(key, logp, init, steps)
+        assert 0.1 < float(res.accept_rate) < 0.45
+
+    def test_freeze_after_adapt(self, key):
+        d = 2
+        _, _, logp = correlated_gaussian(d, rho=0.0)
+        init = jnp.zeros((8, d), jnp.float32)
+        res = adaptive_mh_sampler(key, logp, init, 400, num_adapt=100)
+        # count only absorbs adaptation-phase samples: (1 init + 100) * C.
+        assert float(res.state.count) == pytest.approx(101 * 8)
+
+    def test_no_samples_and_reproducible(self, key):
+        d = 3
+        _, _, logp = correlated_gaussian(d)
+        init = jnp.ones((4, d), jnp.float32)
+        r1 = adaptive_mh_sampler(key, logp, init, 120, keep_samples=False)
+        assert r1.samples is None
+        r2 = jax.jit(lambda k: adaptive_mh_sampler(
+            k, logp, init, 120, keep_samples=False))(key)
+        np.testing.assert_allclose(np.asarray(r1.state.x),
+                                   np.asarray(r2.state.x),
+                                   rtol=1e-5, atol=1e-5)

@@ -80,3 +80,32 @@ def test_resampler_options(key):
         result = smc_sampler(key, log_prior, log_target, prior_sample,
                              1024, d, resampler=name)
         assert np.isfinite(float(result.log_evidence))
+
+
+def test_mala_rejuvenation(key):
+    # Same shifted-Gaussian setup, MALA move kernel: moments + evidence.
+    d = 3
+    mu = jnp.asarray([2.0, -1.0, 0.5], jnp.float32)
+    prior_cov = 4.0 * jnp.eye(d, dtype=jnp.float32)
+    log_prior = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
+                                         prior_cov)
+    log_target = lambda x: mvn_logpdf_cov(x, mu, jnp.eye(d, dtype=jnp.float32))
+    prior_sample = lambda k, s: mvn_sample_cov(k, jnp.zeros(d, jnp.float32),
+                                               prior_cov, s)
+    result = jax.jit(lambda k: smc_sampler(
+        k, log_prior, log_target, prior_sample, 4096, d,
+        rejuvenation="mala", step_size=0.3))(key)
+    w = np.exp(np.asarray(result.log_weights))
+    xs = np.asarray(result.particles)
+    mean = (w[:, None] * xs).sum(0)
+    np.testing.assert_allclose(mean, np.asarray(mu), atol=0.12)
+    assert abs(float(result.log_evidence)) < 0.12
+
+
+def test_unknown_rejuvenation_rejected(key):
+    d = 2
+    lp = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
+                                  jnp.eye(d, dtype=jnp.float32))
+    ps = lambda k, s: jax.random.normal(k, s + (d,), jnp.float32)
+    with pytest.raises(ValueError):
+        smc_sampler(key, lp, lp, ps, 64, d, rejuvenation="hmc")

@@ -77,6 +77,7 @@ def smc_sampler(
     target_ess: float = 0.5,
     rejuvenation_steps: int = 5,
     rejuvenation: str = "rwm",
+    waste_free: bool = False,
     step_size: float = 0.5,
     max_stages: int = 100,
     dtype=jnp.float32,
@@ -89,9 +90,21 @@ def smc_sampler(
     0.234 pooled acceptance) or "mala" (Langevin proposal using gradients
     of the tempered density, adapted toward 0.574 — requires differentiable
     log_prior/log_target).
+
+    ``waste_free=True`` switches resample-move to the waste-free scheme of
+    Dau & Chopin (2022): each stage resamples only M = N/rejuvenation_steps
+    roots (multinomially) and keeps ALL states of each root's length-P
+    rejuvenation chain as the next particle set — no MCMC work is thrown
+    away, and the chains are P times longer at the same cost. Requires
+    N divisible by ``rejuvenation_steps``.
     """
     if rejuvenation not in ("rwm", "mala"):
         raise ValueError(f"unknown rejuvenation kernel {rejuvenation!r}")
+    if waste_free:
+        if num_particles % rejuvenation_steps != 0:
+            raise ValueError("waste_free requires num_particles divisible "
+                             "by rejuvenation_steps")
+        num_roots = num_particles // rejuvenation_steps
     res_fn = get_resampler(resampler)
     n = num_particles
     k_init, k_loop = jax.random.split(key)
@@ -122,29 +135,42 @@ def smc_sampler(
         log_z = log_z + lse - logsumexp(logw)
         logw_norm = logw_unnorm - lse
 
-        a = res_fn(k_res, logw_norm)
-        x = x[a]
+        logpdf_now = lambda xx: tempered_logpdf(xx, lam_new)
         logw_res = jnp.full((n,), -math.log(n), dtype)
 
-        logpdf_now = lambda xx: tempered_logpdf(xx, lam_new)
-        acc = jnp.asarray(0.0, dtype)
-        if rejuvenation == "mala":
-            logp0, grad0 = _value_and_grad_batched(logpdf_now)(x)
-            mv_state = MALAState(x=x, logp=logp0, grad=grad0,
-                                 log_step=log_step,
-                                 accept_count=jnp.zeros((n,), dtype))
-            for j in range(rejuvenation_steps):
-                mv_state, acc = mala_step(
-                    jax.random.fold_in(k_mh, j), mv_state, logpdf_now,
-                    adapt_rate=0.05)
+        if waste_free:
+            # M roots, each expanded into its full length-P chain.
+            a = jax.random.categorical(k_res, logw_norm, shape=(num_roots,))
+            starts = x[a]
+            num_moves = rejuvenation_steps - 1
         else:
-            mv_state = MHState(x=x, logp=logpdf_now(x), log_step=log_step,
-                               accept_count=jnp.zeros((n,), dtype))
-            for j in range(rejuvenation_steps):
-                mv_state, acc = mh_step(
-                    jax.random.fold_in(k_mh, j), mv_state, logpdf_now,
-                    adapt_rate=0.05)
-        return (lam_new, stage + 1, mv_state.x, logw_res, log_z,
+            a = res_fn(k_res, logw_norm)
+            starts = x[a]
+            num_moves = rejuvenation_steps
+
+        acc = jnp.asarray(0.0, dtype)
+        c = starts.shape[0]
+        if rejuvenation == "mala":
+            logp0, grad0 = _value_and_grad_batched(logpdf_now)(starts)
+            mv_state = MALAState(x=starts, logp=logp0, grad=grad0,
+                                 log_step=log_step,
+                                 accept_count=jnp.zeros((c,), dtype))
+            move = mala_step
+        else:
+            mv_state = MHState(x=starts, logp=logpdf_now(starts),
+                               log_step=log_step,
+                               accept_count=jnp.zeros((c,), dtype))
+            move = mh_step
+        trail = [starts]
+        for j in range(num_moves):
+            mv_state, acc = move(jax.random.fold_in(k_mh, j), mv_state,
+                                 logpdf_now, adapt_rate=0.05)
+            trail.append(mv_state.x)
+        if waste_free:
+            x_new = jnp.concatenate(trail, axis=0)  # [P*M, d] == [n, d]
+        else:
+            x_new = mv_state.x
+        return (lam_new, stage + 1, x_new, logw_res, log_z,
                 mv_state.log_step, acc)
 
     init = (jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), x0, logw0,

@@ -109,3 +109,36 @@ def test_unknown_rejuvenation_rejected(key):
     ps = lambda k, s: jax.random.normal(k, s + (d,), jnp.float32)
     with pytest.raises(ValueError):
         smc_sampler(key, lp, lp, ps, 64, d, rejuvenation="hmc")
+
+
+@pytest.mark.parametrize("kernel", ["rwm", "mala"])
+def test_waste_free(key, kernel):
+    # Dau-Chopin waste-free resample-move: same shifted-Gaussian oracle.
+    d = 3
+    mu = jnp.asarray([2.0, -1.0, 0.5], jnp.float32)
+    prior_cov = 4.0 * jnp.eye(d, dtype=jnp.float32)
+    log_prior = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
+                                         prior_cov)
+    log_target = lambda x: mvn_logpdf_cov(x, mu, jnp.eye(d, dtype=jnp.float32))
+    prior_sample = lambda k, s: mvn_sample_cov(k, jnp.zeros(d, jnp.float32),
+                                               prior_cov, s)
+    result = jax.jit(lambda k: smc_sampler(
+        k, log_prior, log_target, prior_sample, 4096, d,
+        rejuvenation=kernel, waste_free=True, rejuvenation_steps=8,
+        step_size=0.3))(key)
+    w = np.exp(np.asarray(result.log_weights))
+    xs = np.asarray(result.particles)
+    assert xs.shape == (4096, d)
+    mean = (w[:, None] * xs).sum(0)
+    np.testing.assert_allclose(mean, np.asarray(mu), atol=0.15)
+    assert abs(float(result.log_evidence)) < 0.15
+
+
+def test_waste_free_divisibility(key):
+    d = 2
+    lp = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
+                                  jnp.eye(d, dtype=jnp.float32))
+    ps = lambda k, s: jax.random.normal(k, s + (d,), jnp.float32)
+    with pytest.raises(ValueError):
+        smc_sampler(key, lp, lp, ps, 100, d, waste_free=True,
+                    rejuvenation_steps=7)

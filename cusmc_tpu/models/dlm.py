@@ -26,7 +26,7 @@ from jax.scipy.special import gammaln
 from cusmc_tpu.distributions.mvn import mvn_logpdf, mvn_sample
 from cusmc_tpu.distributions.mvt import mvt_logpdf, mvt_sample
 from cusmc_tpu.ops.packed import matvec, quadform
-from cusmc_tpu.ops.random import fast_gamma
+from cusmc_tpu.ops.random import MAX_INTEGER_DF, chi2_integer_df, fast_gamma
 from cusmc_tpu.utils.linalg import chol_sqrt, cov_sqrt
 
 
@@ -48,6 +48,11 @@ class DLM(struct.PyTreeNode):
     df: Optional[jnp.ndarray] = None
     noise: str = struct.field(pytree_node=False, default="mvn")
     per_dim_chi: bool = struct.field(pytree_node=False, default=False)
+    # Static copy of df when it is a concrete small integer: enables the
+    # exact sum-of-exponentials chi-square (ops/random.chi2_integer_df),
+    # ~4x cheaper than the Marsaglia-Tsang rounds on the packed hot path.
+    # None when df is traced (e.g. PMMH tunes it) or non-integer.
+    df_int: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, F, G, m0, C0, V, W, df=None, noise: str = "mvn",
@@ -62,6 +67,14 @@ class DLM(struct.PyTreeNode):
         eye_k = jnp.eye(V_chol.shape[-1], dtype=dtype)
         V_chol_inv = jax.scipy.linalg.solve_triangular(V_chol, eye_k,
                                                        lower=True)
+        df_int = None
+        if noise == "mvt":
+            try:
+                df_f = float(df)  # raises on traced df (PMMH)
+                if df_f.is_integer() and 1 <= df_f <= MAX_INTEGER_DF:
+                    df_int = int(df_f)
+            except (TypeError, jax.errors.TracerArrayConversionError):
+                pass
         return cls(
             F=F,
             G=G,
@@ -73,6 +86,7 @@ class DLM(struct.PyTreeNode):
             df=None if df is None else jnp.asarray(df, dtype),
             noise=noise,
             per_dim_chi=per_dim_chi,
+            df_int=df_int,
         )
 
     @property
@@ -163,9 +177,14 @@ class DLM(struct.PyTreeNode):
             lz = matvec(scale, z)
             df = self.df
             shape = (d, n) if self.per_dim_chi else (1, n)
-            # fast_gamma: fixed-round Marsaglia-Tsang, ~40x cheaper than
-            # jax.random.gamma's rejection loop on TPU (see ops/random.py).
-            g = 2.0 * fast_gamma(kg, 0.5 * df, shape, dtype)
+            if self.df_int is not None:
+                # Exact one-log chi-square for small integer df — the
+                # common case and ~4x cheaper (ops/random.chi2_integer_df).
+                g = chi2_integer_df(kg, self.df_int, shape, dtype)
+            else:
+                # fast_gamma: fixed-round Marsaglia-Tsang, ~40x cheaper
+                # than jax.random.gamma's rejection loop on TPU.
+                g = 2.0 * fast_gamma(kg, 0.5 * df, shape, dtype)
             return mean + lz * jnp.sqrt(df / g)
         z = jax.random.normal(key, (d, n), dtype)
         return mean + matvec(scale, z)

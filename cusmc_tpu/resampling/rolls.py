@@ -34,7 +34,6 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 
 def roll_metropolis_sweeps(key: jax.Array, X: jnp.ndarray, logw: jnp.ndarray,
@@ -46,22 +45,40 @@ def roll_metropolis_sweeps(key: jax.Array, X: jnp.ndarray, logw: jnp.ndarray,
     k_shift, k_u = jax.random.split(key)
     shifts = jax.random.randint(k_shift, (num_steps,), 0, n, jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
+    # Accept iff u < w_cand/w_cur <=> u * w_cur < w_cand: ONE exp pass here
+    # replaces a log pass per sweep (10 transcendental passes over [N] per
+    # filter step), with bit-identical accept decisions up to rounding.
+    # Max-shift keeps exp in range; ratios are shift-invariant. Degenerate
+    # pairs (both weights 0 after underflow) reject, matching the log-space
+    # NaN-compare behavior.
+    w = jnp.exp(logw - jnp.max(logw))
 
-    def sweep(b, state):
-        x_cur, lw_cur, a_cur = state
+    # Phase 1 — weight walk WITHOUT touching X: the winning ancestor is
+    # always i + s_b for the LAST accepted sweep b, so it suffices to carry
+    # (current weight, winning-sweep index). Unrolled (B is static) so XLA
+    # fuses the whole chain into few HBM passes over [N] scalars instead of
+    # rolling the [d, N] state every sweep.
+    w_cur = w
+    b_win = jnp.full((n,), -1, jnp.int32)  # -1 = kept self
+    for b in range(num_steps):
         s = shifts[b]
-        lw_cand = jnp.roll(logw, -s)
-        log_u = jnp.log(jax.random.uniform(jax.random.fold_in(k_u, b),
-                                           (n,), logw.dtype))
-        acc = log_u < (lw_cand - lw_cur)
-        x_cur = jnp.where(acc[None, :], jnp.roll(X, -s, axis=1), x_cur)
-        lw_cur = jnp.where(acc, lw_cand, lw_cur)
-        # Candidate index (i + s) mod n — arithmetic, no gather.
-        j = jnp.where(iota + s >= n, iota + s - n, iota + s)
-        a_cur = jnp.where(acc, j, a_cur)
-        return x_cur, lw_cur, a_cur
+        w_cand = jnp.roll(w, -s)
+        u = jax.random.uniform(jax.random.fold_in(k_u, b), (n,), w.dtype)
+        acc = u * w_cur < w_cand
+        w_cur = jnp.where(acc, w_cand, w_cur)
+        b_win = jnp.where(acc, b, b_win)
 
-    x_f, _, a_f = lax.fori_loop(0, num_steps, sweep, (X, logw, iota))
+    # Phase 2 — materialize states/ancestors once: a fused (B+1)-way select
+    # over shifted reads of X (shifts are lane rotations, never gathers).
+    x_f = X
+    a_f = iota
+    for b in range(num_steps):
+        sel = b_win == b
+        x_f = jnp.where(sel[None, :], jnp.roll(X, -shifts[b], axis=1), x_f)
+        # Candidate index (i + s) mod n — arithmetic, no gather.
+        j = iota + shifts[b]
+        j = jnp.where(j >= n, j - n, j)
+        a_f = jnp.where(sel, j, a_f)
     return x_f, a_f
 
 

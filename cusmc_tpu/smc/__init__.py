@@ -1,6 +1,8 @@
 from cusmc_tpu.smc.kalman import kalman_filter
+from cusmc_tpu.smc.liu_west import LiuWestResult, liu_west_filter
 from cusmc_tpu.smc.particle_filter import FilterResult, bootstrap_filter
 from cusmc_tpu.smc.rbpf import RBPFResult, rao_blackwell_filter
 
-__all__ = ["FilterResult", "RBPFResult", "bootstrap_filter",
-           "kalman_filter", "rao_blackwell_filter"]
+__all__ = ["FilterResult", "LiuWestResult", "RBPFResult",
+           "bootstrap_filter", "kalman_filter", "liu_west_filter",
+           "rao_blackwell_filter"]

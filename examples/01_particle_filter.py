@@ -1,6 +1,10 @@
 """Bootstrap particle filter on the bundled trace — the reference's main
 workflow (CuSMC::run) in one call, plus the new diagnostics."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
+
 import numpy as np
 
 import cusmc_tpu

@@ -1,6 +1,10 @@
 """Multi-chain random-walk Metropolis-Hastings on an MVT target with
 Robbins-Monro step-size adaptation (BASELINE configs 1/2 shape)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Parameter inference with particle marginal MH: infer a DLM's
 observation-noise variance from data (capability absent in the reference)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,10 @@ this uses all chips; on one chip (or CPU) it still runs — set
 XLA_FLAGS=--xla_force_host_platform_device_count=8 with JAX_PLATFORMS=cpu
 to exercise an 8-way virtual mesh."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,6 +27,7 @@ from cusmc_tpu.models.dlm import DLM  # noqa: F401
 from cusmc_tpu.smc.kalman import kalman_filter  # noqa: F401
 from cusmc_tpu.smc.liu_west import LiuWestResult, liu_west_filter  # noqa: F401
 from cusmc_tpu.smc.rbpf import RBPFResult, rao_blackwell_filter  # noqa: F401
+from cusmc_tpu.smc.smc2 import SMC2Result, smc2  # noqa: F401
 from cusmc_tpu.smc.particle_filter import (  # noqa: F401
     FilterResult,
     bootstrap_filter,

@@ -45,6 +45,7 @@ def streaming_bootstrap_filter(
     ess_threshold: Optional[float] = None,
     store_particles: bool = True,
     force_numpy_store: bool = False,
+    spill_path: Optional[str] = None,
     checkpoint=None,
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
@@ -117,8 +118,17 @@ def streaming_bootstrap_filter(
 
     store = None
     if store_particles:
-        store = TrajectoryStore((num_particles, d), num_steps, np.float32,
-                                force_numpy=force_numpy_store)
+        if spill_path is not None:
+            # Out-of-core: history appends to disk via the native async
+            # writer (io/disk_store.py) — use when T*N*d exceeds host RAM.
+            from cusmc_tpu.io.disk_store import DiskTrajectoryStore
+
+            store = DiskTrajectoryStore(spill_path, (num_particles, d),
+                                        np.float32)
+        else:
+            store = TrajectoryStore((num_particles, d), num_steps,
+                                    np.float32,
+                                    force_numpy=force_numpy_store)
         # Row i of the store corresponds to timestep start_step + i (on a
         # resumed run history before the snapshot is not replayed).
         store.start_step = t - 1

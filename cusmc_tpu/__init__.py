@@ -24,6 +24,7 @@ from cusmc_tpu.api import (  # noqa: F401
 from cusmc_tpu.config import FilterConfig, run_filter  # noqa: F401
 from cusmc_tpu.models.clgssm import CLGSSM  # noqa: F401
 from cusmc_tpu.models.dlm import DLM  # noqa: F401
+from cusmc_tpu.smc.enkf import EnKFResult, ensemble_kalman_filter  # noqa: F401
 from cusmc_tpu.smc.kalman import kalman_filter  # noqa: F401
 from cusmc_tpu.smc.liu_west import LiuWestResult, liu_west_filter  # noqa: F401
 from cusmc_tpu.smc.rbpf import RBPFResult, rao_blackwell_filter  # noqa: F401

@@ -1,3 +1,4 @@
+from cusmc_tpu.parallel.enkf import sharded_ensemble_kalman_filter
 from cusmc_tpu.parallel.filter import sharded_bootstrap_filter
 from cusmc_tpu.parallel.mcmc import sharded_mh_sampler
 from cusmc_tpu.parallel.mesh import (
@@ -23,5 +24,6 @@ __all__ = [
     "process_info",
     "replicated",
     "sharded_bootstrap_filter",
+    "sharded_ensemble_kalman_filter",
     "sharded_mh_sampler",
 ]

@@ -37,6 +37,11 @@ class EnKFResult(struct.PyTreeNode):
     spread: jnp.ndarray
 
 
+def _gmean(x, axis_name, axis=0):
+    m = jnp.mean(x, axis=axis)
+    return m if axis_name is None else lax.pmean(m, axis_name)
+
+
 def ensemble_kalman_filter(
     key: jax.Array,
     model,
@@ -45,6 +50,8 @@ def ensemble_kalman_filter(
     inflation: float = 1.0,
     F: Optional[jnp.ndarray] = None,
     V: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+    num_ensemble_global: Optional[int] = None,
 ) -> EnKFResult:
     """Run the stochastic EnKF on observations ``ys`` [T, k].
 
@@ -55,8 +62,14 @@ def ensemble_kalman_filter(
     factor) and can be overridden via ``F``/``V``. ``inflation`` >= 1
     scales forecast anomalies (multiplicative covariance inflation, the
     standard fix for sampling-noise underdispersion).
+
+    Under ``shard_map`` pass ``axis_name`` (the ensemble mesh axis) and the
+    global size via ``num_ensemble_global``; the moment matmuls become
+    ``psum``-reduced partial products — the ONLY per-step collectives are
+    O(d*k) scalars, so the sharded EnKF scales with zero state exchange.
     """
     n = num_ensemble
+    n_global = num_ensemble_global or n
     if F is None:
         F = model.F
     if V is None:
@@ -67,6 +80,8 @@ def ensemble_kalman_filter(
     k_dim = F.shape[0]
 
     k_init, k_scan = jax.random.split(key)
+    if axis_name is not None:
+        k_init = jax.random.fold_in(k_init, lax.axis_index(axis_name))
     x0 = model.sample_initial(k_init, (n,))
     dtype = x0.dtype
 
@@ -74,21 +89,29 @@ def ensemble_kalman_filter(
         x, key = carry
         t, y_t = inp
         key_t = jax.random.fold_in(key, t)
+        if axis_name is not None:
+            key_t = jax.random.fold_in(key_t, lax.axis_index(axis_name))
         k_prop, k_obs = jax.random.split(key_t)
 
         # Forecast (stochastic propagation includes the model noise).
         xf = model.propagate(k_prop, x)
-        mean_f = jnp.mean(xf, axis=0)
+        mean_f = _gmean(xf, axis_name)
         A = (xf - mean_f[None, :]) * inflation          # [N, d] anomalies
         xf = mean_f[None, :] + A
 
-        # Innovation statistics from the ensemble (all MXU matmuls).
+        # Innovation statistics from the ensemble (all MXU matmuls; under
+        # shard_map the partial [d,k]/[k,k] products psum over shards).
         HX = xf @ F.T                                    # [N, k]
-        mean_h = jnp.mean(HX, axis=0)
+        mean_h = _gmean(HX, axis_name)
         AH = HX - mean_h[None, :]
-        denom = 1.0 / (n - 1)
-        cov_hh = AH.T @ AH * denom + V                   # [k, k]
-        cov_xh = A.T @ AH * denom                        # [d, k]
+        denom = 1.0 / (n_global - 1)
+        s_hh = AH.T @ AH
+        s_xh = A.T @ AH
+        if axis_name is not None:
+            s_hh = lax.psum(s_hh, axis_name)
+            s_xh = lax.psum(s_xh, axis_name)
+        cov_hh = s_hh * denom + V                        # [k, k]
+        cov_xh = s_xh * denom                            # [d, k]
 
         # Perturbed observations + Kalman update via a [k, k] solve.
         pert = jax.random.normal(k_obs, (n, k_dim), dtype) @ v_chol.T
@@ -96,15 +119,17 @@ def ensemble_kalman_filter(
         gain_t = jnp.linalg.solve(cov_hh, cov_xh.T)      # [k, d] = K^T
         xa = xf + innov @ gain_t                         # [N, d]
 
-        mean_a = jnp.mean(xa, axis=0)
-        spread = jnp.sqrt(jnp.mean((xa - mean_a[None, :]) ** 2))
+        mean_a = _gmean(xa, axis_name)
+        spread = jnp.sqrt(_gmean((xa - mean_a[None, :]) ** 2,
+                                 axis_name, axis=(0, 1)))
         return (xa, key), (mean_a, spread)
 
     ts = jnp.arange(1, ys.shape[0])
     (x_f, _), (means, spreads) = lax.scan(step, (x0, k_scan), (ts, ys[1:]))
 
-    mean0 = jnp.mean(x0, axis=0)
-    spread0 = jnp.sqrt(jnp.mean((x0 - mean0[None, :]) ** 2))
+    mean0 = _gmean(x0, axis_name)
+    spread0 = jnp.sqrt(_gmean((x0 - mean0[None, :]) ** 2, axis_name,
+                              axis=(0, 1)))
     return EnKFResult(
         final_ensemble=x_f,
         means=jnp.concatenate([mean0[None], means]),

@@ -67,3 +67,35 @@ class TestEnKF:
         np.testing.assert_allclose(np.asarray(r1.final_ensemble),
                                    np.asarray(r2.final_ensemble),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestShardedEnKF:
+    def test_sharded_matches_oracle_and_replicates(self, setup, key):
+        import jax
+
+        from cusmc_tpu.parallel import make_mesh
+        from cusmc_tpu.parallel.enkf import sharded_ensemble_kalman_filter
+
+        model, ys, km, _ = setup
+        n_dev = len(jax.devices())
+        mesh = make_mesh({"particles": n_dev})
+        res = sharded_ensemble_kalman_filter(key, model, ys, 1024 * n_dev,
+                                             mesh)
+        means = np.asarray(res.means)
+        err = np.abs(means[5:] - km[5:]).mean()
+        scale = np.abs(km[5:]).mean() + 1.0
+        assert err / scale < 0.05
+        assert res.final_ensemble.shape == (1024 * n_dev, 2)
+        assert np.isfinite(float(res.spread[-1]))
+
+    def test_divisibility_check(self, setup, key):
+        import jax
+
+        from cusmc_tpu.parallel import make_mesh
+        from cusmc_tpu.parallel.enkf import sharded_ensemble_kalman_filter
+
+        model, ys, _, _ = setup
+        mesh = make_mesh({"particles": len(jax.devices())})
+        if len(jax.devices()) > 1:
+            with pytest.raises(ValueError):
+                sharded_ensemble_kalman_filter(key, model, ys, 1023, mesh)

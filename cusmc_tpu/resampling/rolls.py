@@ -40,18 +40,29 @@ def roll_metropolis_sweeps(key: jax.Array, X: jnp.ndarray, logw: jnp.ndarray,
                            num_steps: int = 10
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run B coalesced Metropolis sweeps; returns (X_resampled [d, N],
-    ancestors [N] int32). ``X`` is packed [d, N]; ``logw`` unnormalized."""
-    n = logw.shape[-1]
+    ancestors [N] int32). ``X`` is packed [d, N]; ``logw`` unnormalized.
+
+    Accept iff u < w_cand/w_cur <=> u * w_cur < w_cand: ONE exp pass
+    replaces a log pass per sweep (10 transcendental passes over [N] per
+    filter step), with bit-identical accept decisions up to rounding.
+    Max-shift keeps exp in range; ratios are shift-invariant. Degenerate
+    pairs (both weights 0 after underflow) reject, matching the log-space
+    NaN-compare behavior.
+    """
+    w = jnp.exp(logw - jnp.max(logw))
+    return roll_metropolis_sweeps_expspace(key, X, w, num_steps)
+
+
+def roll_metropolis_sweeps_expspace(key: jax.Array, X: jnp.ndarray,
+                                    w: jnp.ndarray, num_steps: int = 10
+                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``roll_metropolis_sweeps`` taking weights already in (relative)
+    exp space — the filter's exp-space fast path carries these directly,
+    skipping the per-step exp+max pass."""
+    n = w.shape[-1]
     k_shift, k_u = jax.random.split(key)
     shifts = jax.random.randint(k_shift, (num_steps,), 0, n, jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
-    # Accept iff u < w_cand/w_cur <=> u * w_cur < w_cand: ONE exp pass here
-    # replaces a log pass per sweep (10 transcendental passes over [N] per
-    # filter step), with bit-identical accept decisions up to rounding.
-    # Max-shift keeps exp in range; ratios are shift-invariant. Degenerate
-    # pairs (both weights 0 after underflow) reject, matching the log-space
-    # NaN-compare behavior.
-    w = jnp.exp(logw - jnp.max(logw))
 
     # Phase 1 — weight walk WITHOUT touching X: the winning ancestor is
     # always i + s_b for the LAST accepted sweep b, so it suffices to carry

@@ -134,6 +134,45 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
     return step
 
 
+def _fast_metropolis_step_factory(propagate_fn: Callable,
+                                  logpdf_fn: Callable, num_particles: int,
+                                  num_sweeps: int,
+                                  return_history: bool = True):
+    """Exp-space fast path for (packed, metropolis, always-resample,
+    single shard) — exactly the reference configuration. The carry holds
+    max-normalized exp weights ``w`` instead of log weights: the ESS and
+    the evidence increment come from two fused sums over ``w``, and the
+    roll resampler consumes ``w`` directly, skipping its exp+max pass.
+    Accept decisions, ancestors, and all outputs are identical (to float
+    rounding) to the generic ``_step_factory`` path."""
+    from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps_expspace
+
+    log_n = math.log(num_particles)
+
+    def step(carry, inp):
+        x, w, key = carry
+        t, y_t = inp
+        key_t = jax.random.fold_in(key, t)
+        k_res, k_prop = jax.random.split(key_t)
+
+        s1 = jnp.sum(w)
+        s2 = jnp.sum(w * w)
+        ess = s1 * s1 / s2
+
+        x_anc, a = roll_metropolis_sweeps_expspace(k_res, x, w, num_sweeps)
+        x_new = propagate_fn(k_prop, x_anc)
+        ll = logpdf_fn(y_t, x_new)
+        m = jnp.max(ll)
+        w_new = jnp.exp(ll - m)
+        lz_inc = m + jnp.log(jnp.sum(w_new)) - log_n
+
+        carry = (x_new, w_new, key)
+        history = (x_new, ll, a) if return_history else ()
+        return carry, (history, ess, lz_inc)
+
+    return step
+
+
 def local_resample_op(resampler: Callable, num_particles_global: int):
     """Batch-layout resample op from a (key, logw) -> idx resampler."""
     log_n = math.log(num_particles_global)
@@ -303,7 +342,15 @@ def bootstrap_filter(
                 f"N a multiple of tile={pallas_tile} (and >= 2 tiles), tile "
                 f"a multiple of 128, standard MVT with concrete df >= 2")
 
-    if engine != "pallas" and resample_op is None:
+    # Exp-space fast path: the exact reference configuration (packed
+    # metropolis, resample every step, one shard) carries max-normalized
+    # exp weights through the scan — see _fast_metropolis_step_factory.
+    fast_metropolis = (engine == "xla" and packed
+                       and resampler == "metropolis"
+                       and ess_threshold is None and axis_name is None
+                       and resample_op is None and not debug_checks)
+
+    if engine != "pallas" and not fast_metropolis and resample_op is None:
         if packed:
             resample_op = packed_resample_op(resampler, n_global,
                                              **resampler_kwargs)
@@ -331,12 +378,23 @@ def bootstrap_filter(
         step = _pallas_step_factory(model, num_particles, pallas_tile,
                                     num_sweeps, return_history,
                                     pallas_interpret)
+    elif fast_metropolis:
+        num_sweeps = resampler_kwargs.get("num_steps", 10)
+        step = _fast_metropolis_step_factory(
+            propagate_fn, logpdf_fn, num_particles, num_sweeps,
+            return_history)
     else:
         step = _step_factory(propagate_fn, logpdf_fn, resample_op,
                              ess_threshold, n_global, axis_name,
                              return_history, debug_checks)
-    (x_f, logw_f, _), (history, esss, lzs) = lax.scan(
-        step, (x0, logw0, k_scan), (ts, ys[1:]))
+    if fast_metropolis:
+        w0 = jnp.exp(logw0 - jnp.max(logw0))  # uniform -> ones
+        (x_f, w_f, _), (history, esss, lzs) = lax.scan(
+            step, (x0, w0, k_scan), (ts, ys[1:]))
+        logw_f = jnp.log(w_f) - jnp.log(jnp.sum(w_f))
+    else:
+        (x_f, logw_f, _), (history, esss, lzs) = lax.scan(
+            step, (x0, logw0, k_scan), (ts, ys[1:]))
 
     ess0 = effective_sample_size(logw0, axis_name)
     ess = jnp.concatenate([ess0[None], esss])

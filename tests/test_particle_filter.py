@@ -109,3 +109,29 @@ def test_reproducible_under_jit(demo, key):
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(r1.ancestors),
                                   np.asarray(r2.ancestors))
+
+
+def test_fast_metropolis_path_matches_generic(key):
+    # The exp-space fast path (default for packed metropolis, always
+    # resample) consumes the same key stream as the generic factory;
+    # outputs must agree to float rounding. debug_checks=True forces the
+    # generic path with identical keys.
+    from cusmc_tpu.io.data import demo_model_params
+    from cusmc_tpu.models.dlm import DLM
+
+    params = demo_model_params(d=2)
+    model = DLM.create(noise="mvt", df=5.0, dtype=jnp.float32, **params)
+    _, ys = model.simulate(key, 40)
+    ys = jnp.asarray(ys, jnp.float32)
+    fast = bootstrap_filter(key, model, ys, 512, resampler="metropolis")
+    slow = bootstrap_filter(key, model, ys, 512, resampler="metropolis",
+                            debug_checks=True)
+    np.testing.assert_array_equal(np.asarray(fast.ancestors),
+                                  np.asarray(slow.ancestors))
+    np.testing.assert_allclose(np.asarray(fast.particles),
+                               np.asarray(slow.particles), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(fast.log_evidence),
+                               float(slow.log_evidence), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast.ess), np.asarray(slow.ess),
+                               rtol=1e-3)

@@ -1,4 +1,11 @@
 from cusmc_tpu.mcmc.adaptive import AMResult, AMState, adaptive_mh_sampler
+from cusmc_tpu.mcmc.hmc import (
+    HMCResult,
+    HMCState,
+    hmc_init,
+    hmc_sampler,
+    hmc_step,
+)
 from cusmc_tpu.mcmc.mala import (
     MALAResult,
     MALAState,
@@ -17,11 +24,16 @@ from cusmc_tpu.mcmc.metropolis import (
 __all__ = [
     "AMResult",
     "AMState",
+    "HMCResult",
+    "HMCState",
     "MALAResult",
     "MALAState",
     "MHResult",
     "MHState",
     "adaptive_mh_sampler",
+    "hmc_init",
+    "hmc_sampler",
+    "hmc_step",
     "mala_init",
     "mala_sampler",
     "mala_step",

@@ -106,3 +106,42 @@ class TestAdaptiveMH:
         np.testing.assert_allclose(np.asarray(r1.state.x),
                                    np.asarray(r2.state.x),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestHMC:
+    def test_mvn_target_moments(self, key):
+        from cusmc_tpu.mcmc import hmc_sampler
+
+        d, chains, steps = 8, 64, 1500
+        mu, cov, logp = correlated_gaussian(d, rho=0.7, seed=4)
+        init = jax.random.normal(key, (chains, d), jnp.float32)
+        res = jax.jit(lambda k: hmc_sampler(k, logp, init, steps))(key)
+        samples = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
+        np.testing.assert_allclose(samples.mean(0), mu, atol=0.15)
+        np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.4)
+        assert 0.5 < float(res.accept_rate) <= 1.0
+
+    def test_beats_mala_squared_jump(self, key):
+        from cusmc_tpu.mcmc import hmc_sampler, mala_sampler
+
+        d, chains, steps = 32, 16, 600
+        _, _, logp = correlated_gaussian(d, rho=0.0, seed=5)
+        init = jnp.zeros((chains, d), jnp.float32)
+        hmc = hmc_sampler(key, logp, init, steps, num_leapfrog=16)
+        mala = mala_sampler(key, logp, init, steps)
+        sq = lambda s: float(np.mean(np.sum(np.diff(
+            np.asarray(s.samples[steps // 2:]), axis=0) ** 2, axis=-1)))
+        assert sq(hmc) > sq(mala)
+
+    def test_reproducible_jit_and_no_jitter(self, key):
+        from cusmc_tpu.mcmc import hmc_sampler
+
+        d = 3
+        _, _, logp = correlated_gaussian(d)
+        init = jnp.ones((4, d), jnp.float32)
+        r1 = hmc_sampler(key, logp, init, 100, jitter=False)
+        r2 = jax.jit(lambda k: hmc_sampler(k, logp, init, 100,
+                                           jitter=False))(key)
+        np.testing.assert_allclose(np.asarray(r1.state.x),
+                                   np.asarray(r2.state.x),
+                                   rtol=1e-5, atol=1e-5)

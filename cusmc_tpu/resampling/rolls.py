@@ -53,24 +53,19 @@ def roll_metropolis_sweeps(key: jax.Array, X: jnp.ndarray, logw: jnp.ndarray,
     return roll_metropolis_sweeps_expspace(key, X, w, num_steps)
 
 
-def roll_metropolis_sweeps_expspace(key: jax.Array, X: jnp.ndarray,
-                                    w: jnp.ndarray, num_steps: int = 10
-                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``roll_metropolis_sweeps`` taking weights already in (relative)
-    exp space — the filter's exp-space fast path carries these directly,
-    skipping the per-step exp+max pass."""
+def roll_metropolis_weight_walk(key: jax.Array, w: jnp.ndarray,
+                                num_steps: int = 10):
+    """Phase 1 — the Metropolis weight walk WITHOUT touching the state:
+    the winning ancestor is always i + s_b for the LAST accepted sweep b,
+    so it suffices to carry (current weight, winning-sweep index).
+    Unrolled (B is static) so XLA fuses the whole chain into few HBM
+    passes over [N] scalars. Returns (b_win [N] int32 with -1 = kept
+    self, shifts [B] int32)."""
     n = w.shape[-1]
     k_shift, k_u = jax.random.split(key)
     shifts = jax.random.randint(k_shift, (num_steps,), 0, n, jnp.int32)
-    iota = jnp.arange(n, dtype=jnp.int32)
-
-    # Phase 1 — weight walk WITHOUT touching X: the winning ancestor is
-    # always i + s_b for the LAST accepted sweep b, so it suffices to carry
-    # (current weight, winning-sweep index). Unrolled (B is static) so XLA
-    # fuses the whole chain into few HBM passes over [N] scalars instead of
-    # rolling the [d, N] state every sweep.
     w_cur = w
-    b_win = jnp.full((n,), -1, jnp.int32)  # -1 = kept self
+    b_win = jnp.full((n,), -1, jnp.int32)
     for b in range(num_steps):
         s = shifts[b]
         w_cand = jnp.roll(w, -s)
@@ -78,19 +73,47 @@ def roll_metropolis_sweeps_expspace(key: jax.Array, X: jnp.ndarray,
         acc = u * w_cur < w_cand
         w_cur = jnp.where(acc, w_cand, w_cur)
         b_win = jnp.where(acc, b, b_win)
+    return b_win, shifts
 
-    # Phase 2 — materialize states/ancestors once: a fused (B+1)-way select
-    # over shifted reads of X (shifts are lane rotations, never gathers).
+
+def apply_winning_rolls(X: jnp.ndarray, b_win: jnp.ndarray,
+                        shifts: jnp.ndarray) -> jnp.ndarray:
+    """Phase 2 — materialize the resampled array once: a fused (B+1)-way
+    select over shifted reads of X (lane rotations, never gathers).
+
+    Commutes with any per-column map f acting on the row axis:
+    apply(f(X)) == f(apply(X)) — the filter's fast path exploits this to
+    apply the selection to G @ X directly, never materializing the
+    resampled state itself."""
     x_f = X
-    a_f = iota
-    for b in range(num_steps):
+    for b in range(shifts.shape[0]):
         sel = b_win == b
         x_f = jnp.where(sel[None, :], jnp.roll(X, -shifts[b], axis=1), x_f)
-        # Candidate index (i + s) mod n — arithmetic, no gather.
+    return x_f
+
+
+def winning_ancestors(b_win: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """Global ancestor indices a_i = (i + s_{b_win[i]}) mod n (arithmetic,
+    no memory access)."""
+    n = b_win.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    a_f = iota
+    for b in range(shifts.shape[0]):
         j = iota + shifts[b]
         j = jnp.where(j >= n, j - n, j)
-        a_f = jnp.where(sel, j, a_f)
-    return x_f, a_f
+        a_f = jnp.where(b_win == b, j, a_f)
+    return a_f
+
+
+def roll_metropolis_sweeps_expspace(key: jax.Array, X: jnp.ndarray,
+                                    w: jnp.ndarray, num_steps: int = 10
+                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``roll_metropolis_sweeps`` taking weights already in (relative)
+    exp space — the filter's exp-space fast path carries these directly,
+    skipping the per-step exp+max pass."""
+    b_win, shifts = roll_metropolis_weight_walk(key, w, num_steps)
+    return (apply_winning_rolls(X, b_win, shifts),
+            winning_ancestors(b_win, shifts))
 
 
 def roll_metropolis_resample_op(num_steps: int = 10,

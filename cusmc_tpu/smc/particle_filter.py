@@ -137,17 +137,31 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
 def _fast_metropolis_step_factory(propagate_fn: Callable,
                                   logpdf_fn: Callable, num_particles: int,
                                   num_sweeps: int,
-                                  return_history: bool = True):
+                                  return_history: bool = True,
+                                  model=None):
     """Exp-space fast path for (packed, metropolis, always-resample,
     single shard) — exactly the reference configuration. The carry holds
     max-normalized exp weights ``w`` instead of log weights: the ESS and
     the evidence increment come from two fused sums over ``w``, and the
     roll resampler consumes ``w`` directly, skipping its exp+max pass.
+
     Accept decisions, ancestors, and all outputs are identical (to float
-    rounding) to the generic ``_step_factory`` path."""
+    rounding) to the generic ``_step_factory`` path.
+
+    (Measured dead end, kept as a note: applying the winning-roll
+    selection to G@X instead of X — mathematically identical since the
+    selection commutes with per-column maps — REGRESSED d=2 1.35B -> 0.90B
+    and d=16 808M -> 559M: XLA fuses the select chain into the matmul
+    operand read when the matmul consumes it, which the reordering
+    defeats. ``model`` is accepted for future specializations.)"""
+    del model
     from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps_expspace
 
     log_n = math.log(num_particles)
+
+    def resample_propagate(k_res, k_prop, x, w):
+        x_anc, a = roll_metropolis_sweeps_expspace(k_res, x, w, num_sweeps)
+        return propagate_fn(k_prop, x_anc), a
 
     def step(carry, inp):
         x, w, key = carry
@@ -159,8 +173,7 @@ def _fast_metropolis_step_factory(propagate_fn: Callable,
         s2 = jnp.sum(w * w)
         ess = s1 * s1 / s2
 
-        x_anc, a = roll_metropolis_sweeps_expspace(k_res, x, w, num_sweeps)
-        x_new = propagate_fn(k_prop, x_anc)
+        x_new, a = resample_propagate(k_res, k_prop, x, w)
         ll = logpdf_fn(y_t, x_new)
         m = jnp.max(ll)
         w_new = jnp.exp(ll - m)
@@ -382,7 +395,7 @@ def bootstrap_filter(
         num_sweeps = resampler_kwargs.get("num_steps", 10)
         step = _fast_metropolis_step_factory(
             propagate_fn, logpdf_fn, num_particles, num_sweeps,
-            return_history)
+            return_history, model=model)
     else:
         step = _step_factory(propagate_fn, logpdf_fn, resample_op,
                              ess_threshold, n_global, axis_name,

@@ -26,3 +26,18 @@ samples = np.asarray(result.samples[steps // 2:]).reshape(-1, d)
 print("acceptance:", float(result.accept_rate),
       "adapted step:", float(result.step_size))
 print("sample var (expect", df / (df - 2.0), "):", samples.var(0).mean())
+
+# --- gradient-based + adaptive samplers on the same target ---------------
+from cusmc_tpu.mcmc import adaptive_mh_sampler, hmc_sampler, mala_sampler
+
+for name, fn in [
+    ("MALA", lambda k: mala_sampler(k, log_prob, init, 2000)),
+    ("HMC", lambda k: hmc_sampler(k, log_prob, init, 1000,
+                                  num_leapfrog=12)),
+    ("adaptive-MH", lambda k: adaptive_mh_sampler(k, log_prob, init, 3000)),
+]:
+    r = jax.jit(fn)(key)
+    s = np.asarray(r.samples[r.samples.shape[0] // 2:]).reshape(-1, d)
+    print(f"{name}: acceptance {float(r.accept_rate):.3f}, "
+          f"sample var {s.var(0).mean():.3f} "
+          f"(expect {df / (df - 2.0):.3f})")

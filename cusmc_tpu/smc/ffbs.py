@@ -34,8 +34,7 @@ def _dlm_transition_logpdf(model: DLM, x_next: jnp.ndarray,
                            x_prev: jnp.ndarray) -> jnp.ndarray:
     """log p(x_next | x_prev) for all pairs: [M, d] x [N, d] -> [M, N].
 
-    Gaussian case only (FFBS reweighting needs transition densities; the
-    MVT transition would use the t-density — omitted until needed).
+    Gaussian or Student-T transition (matching the model's ``noise``).
     Quadform expansion: |Li(a - b)|^2 = |Li a|^2 - 2 (Li a)·(Li b) + |Li b|^2
     — the cross term is ONE [M,d]x[d,N] matmul (MXU).
     """
@@ -49,8 +48,16 @@ def _dlm_transition_logpdf(model: DLM, x_next: jnp.ndarray,
     qb = jnp.sum(zb * zb, axis=-1)[None, :]
     quad = qa - 2.0 * cross + qb
     d = x_next.shape[-1]
-    log_norm = (-0.5 * d * jnp.log(2.0 * jnp.pi)
-                - jnp.sum(jnp.log(jnp.diagonal(w_chol))))
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(w_chol)))
+    if model.noise == "mvt":
+        from jax.scipy.special import gammaln
+
+        df = model.df
+        log_norm = (gammaln(0.5 * (df + d)) - gammaln(0.5 * df)
+                    - 0.5 * d * (jnp.log(df) + jnp.log(jnp.pi))
+                    - half_logdet)
+        return log_norm - 0.5 * (df + d) * jnp.log1p(quad / df)
+    log_norm = -0.5 * d * jnp.log(2.0 * jnp.pi) - half_logdet
     return log_norm - 0.5 * quad
 
 
@@ -63,9 +70,11 @@ def _sv_transition_logpdf(model: StochasticVolatility, x_next, x_prev):
 
 def transition_logpdf(model, x_next, x_prev):
     if isinstance(model, DLM):
-        if model.noise != "mvn":
-            raise NotImplementedError("FFBS currently supports Gaussian "
-                                      "transitions (DLM noise='mvn')")
+        if model.per_dim_chi:
+            raise NotImplementedError(
+                "FFBS transition density for the reference's nonstandard "
+                "per-dimension-chi MVT is not defined; use per_dim_chi="
+                "False (the standard construction)")
         return _dlm_transition_logpdf(model, x_next, x_prev)
     if isinstance(model, StochasticVolatility):
         return _sv_transition_logpdf(model, x_next, x_prev)

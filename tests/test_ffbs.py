@@ -98,3 +98,86 @@ def test_ffbs_requires_history(key):
                               return_history=False)
     with pytest.raises(ValueError):
         ffbs(key, model, result)
+
+
+class TestMVTTransition:
+    def test_mvt_matches_scipy_pairwise(self, key):
+        # The pairwise [M,N] t-density must equal scipy's multivariate_t
+        # evaluated at each (x_next, x_prev) pair.
+        from scipy.stats import multivariate_t
+
+        from cusmc_tpu.io.data import demo_model_params
+        from cusmc_tpu.models.dlm import DLM
+        from cusmc_tpu.smc.ffbs import transition_logpdf
+
+        df = 5.0
+        params = demo_model_params(d=2)
+        model = DLM.create(noise="mvt", df=df, dtype=jnp.float32, **params)
+        rng = np.random.default_rng(0)
+        x_next = jnp.asarray(rng.standard_normal((3, 2)), jnp.float32)
+        x_prev = jnp.asarray(rng.standard_normal((5, 2)), jnp.float32)
+        got = np.asarray(transition_logpdf(model, x_next, x_prev))
+        G = np.asarray(params["G"], np.float64)
+        W = np.asarray(params["W"], np.float64)
+        for i in range(3):
+            for j in range(5):
+                want = multivariate_t(loc=G @ np.asarray(x_prev)[j],
+                                      shape=W, df=df).logpdf(
+                                          np.asarray(x_next)[i])
+                np.testing.assert_allclose(got[i, j], want, rtol=2e-4,
+                                           atol=2e-4)
+
+    def test_large_df_converges_to_gaussian(self, key):
+        from cusmc_tpu.io.data import demo_model_params
+        from cusmc_tpu.models.dlm import DLM
+        from cusmc_tpu.smc.ffbs import transition_logpdf
+
+        params = demo_model_params(d=2)
+        mvn = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+        mvt = DLM.create(noise="mvt", df=1e4, dtype=jnp.float32, **params)
+        # Convergence holds for quadform << df: evaluate at W-scale
+        # residuals around the transition mean.
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(0.1 * rng.standard_normal((6, 2)), jnp.float32)
+        G = np.asarray(params["G"], np.float32)
+        w_scale = float(np.sqrt(np.diag(params["W"]).mean()))
+        a = jnp.asarray(np.asarray(b[:4]) @ G.T
+                        + w_scale * rng.standard_normal((4, 2)), jnp.float32)
+        got_t = np.asarray(transition_logpdf(mvt, a, b))
+        got_g = np.asarray(transition_logpdf(mvn, a, b))
+        np.testing.assert_allclose(got_t, got_g, atol=0.05)
+
+    def test_ffbs_runs_on_mvt_model(self, key):
+        from cusmc_tpu.io.data import demo_model_params
+        from cusmc_tpu.models.dlm import DLM
+        from cusmc_tpu.smc.ffbs import ffbs
+        from cusmc_tpu.smc.particle_filter import bootstrap_filter
+
+        params = demo_model_params(d=2)
+        model = DLM.create(noise="mvt", df=5.0, dtype=jnp.float32, **params)
+        _, ys = model.simulate(key, 60)
+        res = bootstrap_filter(key, model, jnp.asarray(ys, jnp.float32),
+                               1024, resampler="systematic",
+                               return_history=True)
+        paths = ffbs(jax.random.fold_in(key, 1), model, res, num_paths=32)
+        assert paths.shape == (60, 32, 2)
+        assert np.isfinite(np.asarray(paths)).all()
+        # Smoothed means close to genealogy-traced smoothed means.
+        from cusmc_tpu.smc.smoothing import smoothed_means
+
+        gm = np.asarray(smoothed_means(res))
+        fm = np.asarray(paths).mean(axis=1)
+        # Compare mid-trajectory region where both are well-behaved.
+        np.testing.assert_allclose(fm[20:40], gm[20:40], atol=0.6)
+
+    def test_per_dim_chi_rejected(self, key):
+        from cusmc_tpu.io.data import demo_model_params
+        from cusmc_tpu.models.dlm import DLM
+        from cusmc_tpu.smc.ffbs import transition_logpdf
+
+        params = demo_model_params(d=2)
+        model = DLM.create(noise="mvt", df=5.0, per_dim_chi=True,
+                           dtype=jnp.float32, **params)
+        x = jnp.zeros((2, 2), jnp.float32)
+        with pytest.raises(NotImplementedError):
+            transition_logpdf(model, x, x)

@@ -191,6 +191,14 @@ class DLM(struct.PyTreeNode):
 
     # -- data generation --------------------------------------------------
 
+    def sample_observation(self, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+        """y | x ~ Dist(F x, V) for batched x [..., d] -> [..., k]
+        (predictive sampling; smc/forecast.py)."""
+        mean = x @ self.F.T
+        noise = self._sample(key, jnp.zeros(self.obs_dim, x.dtype),
+                             self.V_chol, x.shape[:-1])
+        return mean + noise
+
     def simulate(self, key: jax.Array, num_steps: int):
         """Draw a latent path and observations (reference generateInput,
         mcmc.cpp:6-42). Returns (xs [T, d], ys [T, k]); row 0 of ys is zero

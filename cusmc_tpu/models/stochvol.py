@@ -85,6 +85,13 @@ class StochasticVolatility(struct.PyTreeNode):
         y0 = jnp.reshape(y, ())
         return -0.5 * (_LOG_2PI + log_var + (y0 * y0) * jnp.exp(-log_var))
 
+    def sample_observation(self, key, x):
+        """y | x ~ N(0, beta^2 exp(x)) for batched x [..., 1] -> [..., 1]
+        (predictive sampling; smc/forecast.py)."""
+        scale = self.beta * jnp.exp(0.5 * x[..., 0])
+        return (scale * jax.random.normal(key, scale.shape,
+                                          x.dtype))[..., None]
+
     def simulate(self, key, num_steps):
         """Latent path + observations; row 0 of ys is zero (convention
         shared with the DLM demo trace)."""

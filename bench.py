@@ -34,8 +34,14 @@ def main():
 
     params = demo_model_params(d=d)
     noise = os.environ.get("BENCH_NOISE", "mvt")
+    # BENCH_STATE_DTYPE=bfloat16 enables mixed precision (state/matmuls
+    # bf16, weight path f32) — measured +50% at d=8, +20% at d=16; slight
+    # regression at d=2 where [N] weight traffic dominates, hence opt-in.
+    sdt = os.environ.get("BENCH_STATE_DTYPE")
     model = DLM.create(noise=noise, df=5.0 if noise == "mvt" else None,
-                       dtype=jnp.float32, **params)
+                       dtype=jnp.float32,
+                       state_dtype=None if not sdt else jnp.dtype(sdt),
+                       **params)
     # Synthetic observations suffice for throughput (same compute path).
     # BENCH_IMPL selects the PRNG ("rbg" = hardware generator, ~2x cheaper
     # than threefry on TPU and the default here; "threefry" for the

@@ -21,9 +21,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def matvec(A: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
-    """[m, d] @ [d, N] -> [m, N] batched over lanes (MXU)."""
-    return A @ X
+def matvec(A: jnp.ndarray, X: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """[m, d] @ [d, N] -> [m, N] batched over lanes (MXU).
+
+    ``out_dtype`` sets the accumulation/output type — the mixed-precision
+    path feeds bfloat16 operands with float32 accumulation (the MXU's
+    native mode), so residuals carry no accumulation rounding on top of
+    the stored-state rounding."""
+    return jnp.matmul(A, X, preferred_element_type=out_dtype)
 
 
 def quadform(Linv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:

@@ -382,7 +382,10 @@ def bootstrap_filter(
         x0 = model.sample_initial(k_init, (num_particles,))
         propagate_fn = model.propagate
         logpdf_fn = model.observation_logpdf
-    logw0 = jnp.full((num_particles,), -math.log(n_global), x0.dtype)
+    # Weights always live in at least float32 — under the mixed-precision
+    # state_dtype=bfloat16 mode the state is bf16 but the weight path is not.
+    logw0 = jnp.full((num_particles,), -math.log(n_global),
+                     jnp.promote_types(x0.dtype, jnp.float32))
 
     num_steps = ys.shape[0]
     ts = jnp.arange(1, num_steps)

@@ -135,3 +135,39 @@ def test_fast_metropolis_path_matches_generic(key):
                                float(slow.log_evidence), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(fast.ess), np.asarray(slow.ess),
                                rtol=1e-3)
+
+
+def test_mixed_precision_state_dtype(demo, key):
+    # state_dtype=bfloat16 mixed precision: the particle state and its
+    # matmuls run in bf16 while the weight path (log-densities, evidence,
+    # resampling) stays float32. Validated on-chip at d=16/N=262k: logZ
+    # within ~1.5 nats of f32 over 200 steps (benchmarks/RESULTS.md); here
+    # the CPU regression checks dtypes, tracking, and evidence accuracy.
+    params, ys = demo
+    ys = jnp.asarray(ys, jnp.float32)
+    model = DLM.create(noise="mvn", dtype=jnp.float32,
+                       state_dtype=jnp.bfloat16, **params)
+    assert model.G.dtype == jnp.bfloat16
+    assert model.V_chol.dtype == jnp.float32
+    result = jax.jit(
+        lambda k: bootstrap_filter(k, model, ys, 8192,
+                                   resampler="systematic"))(key)
+    assert result.particles.dtype == jnp.bfloat16
+    assert result.obs_loglik.dtype == jnp.float32
+    assert result.final_log_weights.dtype == jnp.float32
+    km, kc, loglik = kalman_filter(ys, **{k: params[k] for k in
+                                          ("F", "G", "V", "W", "m0", "C0")})
+    assert abs(float(result.log_evidence) - float(loglik)) \
+        < 0.02 * abs(float(loglik))
+    pm = posterior_mean(result)
+    err = np.abs(pm[5:] - np.asarray(km)[5:])
+    scale = np.sqrt(np.asarray(kc)[5:].diagonal(axis1=1, axis2=2))
+    assert np.mean(err < 4.0 * scale) > 0.99
+
+    # MVT mixed-precision path (chi-square scale computed in f32).
+    mvt = DLM.create(noise="mvt", df=5.0, dtype=jnp.float32,
+                     state_dtype=jnp.bfloat16, **params)
+    r = bootstrap_filter(key, mvt, ys[:50], 1024, resampler="metropolis",
+                         return_history=False)
+    assert r.final_particles.dtype == jnp.bfloat16
+    assert np.isfinite(float(r.log_evidence))

@@ -1,4 +1,5 @@
 from cusmc_tpu.smc.enkf import EnKFResult, ensemble_kalman_filter
+from cusmc_tpu.smc.forecast import forecast
 from cusmc_tpu.smc.kalman import kalman_filter
 from cusmc_tpu.smc.liu_west import LiuWestResult, liu_west_filter
 from cusmc_tpu.smc.particle_filter import FilterResult, bootstrap_filter
@@ -7,5 +8,5 @@ from cusmc_tpu.smc.smc2 import SMC2Result, smc2
 
 __all__ = ["EnKFResult", "FilterResult", "LiuWestResult", "RBPFResult",
            "SMC2Result", "bootstrap_filter", "ensemble_kalman_filter",
-           "kalman_filter", "liu_west_filter", "rao_blackwell_filter",
-           "smc2"]
+           "forecast", "kalman_filter", "liu_west_filter",
+           "rao_blackwell_filter", "smc2"]

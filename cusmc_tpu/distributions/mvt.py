@@ -66,15 +66,20 @@ def mvt_sample(key: jax.Array, mean: jnp.ndarray, scale: jnp.ndarray, df,
     """
     d = scale.shape[-1]
     dtype = scale.dtype
-    df = jnp.asarray(df, dtype=dtype)
+    # The chi-square mixing variable is drawn in >= f32 even when the state
+    # dtype is bf16 (mixed precision): log/sqrt of bf16 uniforms is too
+    # coarse for the heavy tail (same fix as DLM._sample_packed). Only the
+    # final sqrt(df/g) factor is cast to the state dtype.
+    gdtype = jnp.promote_types(dtype, jnp.float32)
+    df = jnp.asarray(df, dtype=gdtype)
     kz, kg = jax.random.split(key)
     z = jax.random.normal(kz, shape + (d,), dtype=dtype)
     lz = z @ scale.T
     if per_dim_chi:
-        g = 2.0 * jax.random.gamma(kg, 0.5 * df, shape + (d,), dtype=dtype)
+        g = 2.0 * jax.random.gamma(kg, 0.5 * df, shape + (d,), dtype=gdtype)
     else:
-        g = 2.0 * jax.random.gamma(kg, 0.5 * df, shape + (1,), dtype=dtype)
-    return mean + lz * jnp.sqrt(df / g)
+        g = 2.0 * jax.random.gamma(kg, 0.5 * df, shape + (1,), dtype=gdtype)
+    return mean + lz * jnp.sqrt(df / g).astype(dtype)
 
 
 def mvt_sample_cov(key: jax.Array, mean: jnp.ndarray, cov: jnp.ndarray, df,

@@ -64,8 +64,9 @@ class DLM(struct.PyTreeNode):
         (V factors, df, log-densities, resampling) stays in ``dtype``.
         Matmuls feeding the likelihood accumulate in ``dtype`` (the MXU's
         native bf16xbf16->f32 mode), so log-evidence stays accurate while
-        HBM traffic over the [d, N] state halves. Measured on v5e at d=16,
-        N=1M: 0.84B -> ~1.2B particle-steps/s with logZ matching f32."""
+        HBM traffic over the [d, N] state halves. Measured on v5e at N=1M:
+        d=8 890M -> 1.36B, d=16 808M -> 1.00B particle-steps/s with logZ
+        matching f32 (benchmarks/RESULTS.md d-sweep table)."""
         sdtype = dtype if state_dtype is None else state_dtype
         F = jnp.asarray(F, sdtype)
         G = jnp.asarray(G, sdtype)

@@ -40,9 +40,13 @@ def _dlm_transition_logpdf(model: DLM, x_next: jnp.ndarray,
     """
     # W_sqrt is any square root (eigh roots are NOT triangular); rebuild a
     # genuine Cholesky factor from W = W_sqrt W_sqrt^T for the solves.
-    w_chol = jnp.linalg.cholesky(model.W_sqrt @ model.W_sqrt.T)
-    za = tri_solve(w_chol, x_next)            # [M, d]
-    zb = tri_solve(w_chol, x_prev @ model.G.T)  # [N, d]
+    # Smoothing weights stay in >= f32 even under state_dtype=bfloat16
+    # mixed precision (DLM.create keeps log-densities in the weight dtype).
+    wdtype = jnp.promote_types(model.W_sqrt.dtype, jnp.float32)
+    W_sqrt = model.W_sqrt.astype(wdtype)
+    w_chol = jnp.linalg.cholesky(W_sqrt @ W_sqrt.T)
+    za = tri_solve(w_chol, x_next.astype(wdtype))            # [M, d]
+    zb = tri_solve(w_chol, (x_prev @ model.G.T).astype(wdtype))  # [N, d]
     cross = za @ zb.T                          # [M, N] (MXU)
     qa = jnp.sum(za * za, axis=-1)[:, None]
     qb = jnp.sum(zb * zb, axis=-1)[None, :]

@@ -202,9 +202,14 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
     """Packed-layout [d, N] resample op for a registry key.
 
     "metropolis" -> gather-free roll-Metropolis sweeps;
-    "systematic" -> sort-free merge-rank ancestors + one lane gather;
-    others        -> registry ancestor fn + one lane gather.
+    others       -> registry ancestor fn (sorted/monotone by construction
+    for the CDF family) applied via the block-banded one-hot-matmul Pallas
+    kernel (``ops/monotone_gather``) on TPU — the random lane gather it
+    replaces cost ~8 ms at N=1M and capped the CDF resamplers at ~95 M
+    particle-steps/s (benchmarks/RESULTS.md).
     """
+    from cusmc_tpu.ops.monotone_gather import take_columns
+
     log_n = math.log(num_particles_global)
 
     if resampler_name == "metropolis":
@@ -218,7 +223,7 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
 
     def op(key, X, logw):
         a = ancestor_fn(key, logw)
-        return (jnp.take(X, a, axis=1),
+        return (take_columns(X, a),
                 jnp.full(logw.shape, -log_n, logw.dtype), a)
 
     return op
@@ -266,7 +271,11 @@ def _pallas_eligible(model, n: int, tile: int) -> bool:
     if not (isinstance(model, DLM)
             and max(model.state_dim, model.obs_dim) <= MAX_UNROLL_DIM
             and n % tile == 0 and n >= 2 * tile and tile % 128 == 0
-            and not model.per_dim_chi):
+            and not model.per_dim_chi
+            # fused_filter_step emits f32 state / uses f32 VMEM scratch; a
+            # bf16 scan carry (state_dtype=bfloat16) would crash with an
+            # opaque carry-dtype mismatch deep in the scan.
+            and model.G.dtype == jnp.float32):
         return False
     if model.noise == "mvt":
         # The in-kernel Marsaglia-Tsang sampler has no alpha<1 boost:
@@ -353,7 +362,8 @@ def bootstrap_filter(
             raise ValueError(
                 f"pallas engine needs a DLM with d,k <= {MAX_UNROLL_DIM}, "
                 f"N a multiple of tile={pallas_tile} (and >= 2 tiles), tile "
-                f"a multiple of 128, standard MVT with concrete df >= 2")
+                f"a multiple of 128, standard MVT with concrete df >= 2, "
+                f"and a float32 state (no state_dtype=bfloat16)")
 
     # Exp-space fast path: the exact reference configuration (packed
     # metropolis, resample every step, one shard) carries max-normalized

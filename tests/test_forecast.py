@@ -49,7 +49,9 @@ def test_forecast_matches_kalman_predictive(filtered):
         assert np.allclose(cov_x, P, rtol=0.15, atol=5e-3)
         mu_y = np.asarray(ysim[t], np.float64).mean(axis=0)
         cov_y = np.cov(np.asarray(ysim[t], np.float64).T)
-        assert np.all(np.abs(mu_y - F @ m) < 8 * se + 1e-2)
+        # Observation-mean MC error scale: diag(F P F' + V), not diag(P).
+        se_y = np.sqrt(np.diag(F @ P @ F.T + V) / ysim.shape[1])
+        assert np.all(np.abs(mu_y - F @ m) < 8 * se_y + 1e-3)
         assert np.allclose(cov_y, F @ P @ F.T + V, rtol=0.15, atol=5e-3)
 
 

@@ -149,3 +149,20 @@ def test_filter_engine_pallas_interpret(key):
     # Metropolis finite-B bias allowance (see engine comparison notes).
     assert abs(float(res.log_evidence) - float(kll)) < 0.08 * abs(float(kll))
     assert np.isfinite(np.asarray(res.ess)).all()
+
+
+def test_engine_pallas_rejects_bfloat16_state(key):
+    # ADVICE r1: fused_filter_step emits f32 state/scratch; a bf16 scan
+    # carry crashed deep in the scan. Must be a clear up-front error.
+    from cusmc_tpu.io.data import demo_model_params
+    from cusmc_tpu.models.dlm import DLM
+    from cusmc_tpu.smc.particle_filter import bootstrap_filter
+
+    params = demo_model_params()
+    model = DLM.create(noise="mvn", dtype=jnp.float32,
+                       state_dtype=jnp.bfloat16, **params)
+    ys = jnp.zeros((5, 2), jnp.float32)
+    with pytest.raises(ValueError, match="float32 state"):
+        bootstrap_filter(key, model, ys, 2048, engine="pallas",
+                         pallas_tile=256, pallas_interpret=True,
+                         return_history=False)

@@ -52,8 +52,9 @@ def main():
     ys = jnp.asarray(ys, jnp.float32)
 
     engine = os.environ.get("BENCH_ENGINE", "auto")
+    resampler = os.environ.get("BENCH_RESAMPLER", "metropolis")
     fn = jax.jit(lambda k: bootstrap_filter(
-        k, model, ys, num_particles, resampler="metropolis",
+        k, model, ys, num_particles, resampler=resampler,
         return_history=False, engine=engine))
 
     # Warmup/compile.
@@ -70,6 +71,11 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     rate = num_particles * (num_steps - 1) / best
+    # ESS/sec (BASELINE.md metric 2): total Kish ESS accumulated over the
+    # run divided by wall time — the "statistically useful samples per
+    # second" rate (the reference computes no ESS anywhere,
+    # src/mcmc.cpp:239-309).
+    ess_per_sec = float(np.sum(np.asarray(out.ess))) / best
 
     vs = 1.0
     prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__),
@@ -86,10 +92,11 @@ def main():
 
     print(json.dumps({
         "metric": f"particle-steps/sec/chip, MVT bootstrap PF "
-                  f"(N={num_particles}, T={num_steps}, d={d}, metropolis)",
+                  f"(N={num_particles}, T={num_steps}, d={d}, {resampler})",
         "value": rate,
         "unit": "particle-steps/s",
         "vs_baseline": vs,
+        "ess_per_sec": ess_per_sec,
     }))
 
 

@@ -40,6 +40,7 @@ from cusmc_tpu.parallel import make_mesh, sharded_bootstrap_filter
 def main():
     local_n = int(os.environ.get("SCALE_LOCAL_N", 131_072))
     steps = int(os.environ.get("SCALE_T", 50))
+    resampler = os.environ.get("SCALE_RESAMPLER", "metropolis")
     params = demo_model_params()
     model = DLM.create(noise="mvt", df=5.0, dtype=jnp.float32, **params)
     key = jax.random.key(0)
@@ -58,7 +59,7 @@ def main():
         mesh = make_mesh({"particles": k}, devices=devices[:k])
         n = local_n * k
         fn = jax.jit(lambda kk, mesh=mesh, n=n: sharded_bootstrap_filter(
-            kk, model, ys, n, mesh, resampler="metropolis"))
+            kk, model, ys, n, mesh, resampler=resampler))
         out = fn(key)
         _ = np.asarray(out.log_evidence)
         best = float("inf")
@@ -72,6 +73,7 @@ def main():
             base_rate = rate
         print(json.dumps({
             "devices": k,
+            "resampler": resampler,
             "particles": n,
             "particle_steps_per_sec": rate,
             "weak_scaling_efficiency": rate / (k * base_rate),

@@ -1,0 +1,330 @@
+"""Monotone-ancestor apply kernels: the fast path for CDF resamplers.
+
+The CDF resampler family (systematic / stratified / multinomial) produces
+ancestor indices that are monotone non-decreasing in the output slot. A
+random [d, N] lane gather (``jnp.take``) ignores that structure and costs
+~3.8 ms at N=1M on v5e (index-bound, not bandwidth-bound); the round-1
+merge-rank ancestor computation added two ~2 ms argsorts on top, capping
+the CDF resamplers at ~95 M particle-steps/s vs the 1.35 B Metropolis
+headline (benchmarks/RESULTS.md).
+
+Monotonicity means output block b reads a CONTIGUOUS input window of the
+global arrays. Both kernels here walk those windows with double-buffered
+async DMAs; the within-window work uses Mosaic's ``tpu.dynamic_gather``,
+which is restricted to a single vreg along the gather axis (128 lanes /
+8 sublanes, measured on v5e: multi-vreg sources fail to lower). The
+window is therefore held as ONE f32 vreg — an [8, 128] fold of 1024
+consecutive elements — and an arbitrary in-window lookup at index w is a
+two-gather composition (valid because both index vectors are uniform
+along the non-gathered axis):
+
+    h[i, j] = win[i, (w_j & 127)]   (lane gather,   axis=1)
+    v[i, j] = h[(w_j >> 7), j]      (sublane gather, axis=0)
+    => v[., j] = win_flat[w_j]
+
+- ``take_columns(X, a)`` — apply a given sorted ancestor vector.
+- ``inverse_cdf_apply(cdf, positions, X)`` — the fully fused resampler:
+  ancestors are computed IN the kernel by a bitwise binary search over
+  the cdf window (10 two-gather lookups per 128 queries), then applied.
+  Replaces cumsum+merge-rank+gather: no argsort, no global searchsorted,
+  one pass over HBM.
+
+Both fall back to the XLA gather path (identical semantics) when the
+backend is not TPU, shapes are ineligible, the ancestors are not
+monotone, or — decided at RUNTIME via ``lax.cond`` — some block's
+ancestor span exceeds the 1024-wide window (pathologically concentrated
+weights).
+
+Replaces the role of the reference's host-side ancestor gather + H2D
+round-trip (``/root/reference/src/mvn_dist.cu.cpp:194-205``) for the
+low-variance resampler family (north-star extension, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FOLD = 128                 # lanes per fold row
+WROWS = 8                  # fold rows per window (= one f32 vreg of lanes)
+WINDOW = FOLD * WROWS      # 1024-element ancestor window per output block
+DEFAULT_TILE = 512         # output elements per grid block
+
+
+def _use_pallas(d: int, n: int, tile: int, dtype, interpret: bool) -> bool:
+    shapes_ok = (n % tile == 0
+                 and tile % FOLD == 0
+                 and tile <= WINDOW
+                 and n >= WINDOW
+                 and dtype == jnp.float32)
+    return shapes_ok and (interpret or jax.default_backend() == "tpu")
+
+
+def _lookup(table, w_idx):
+    """Window lookup: table [8, 128] (fold of 1024 values), w_idx [1, 128]
+    int32 in [0, 1024) -> [1, 128] with out[0, j] = flat(table)[w_idx_j]."""
+    l = jnp.broadcast_to(w_idx & (FOLD - 1), (WROWS, FOLD))
+    s = jnp.broadcast_to(w_idx >> 7, (WROWS, FOLD))
+    h = jnp.take_along_axis(table, l, axis=1)
+    return jnp.take_along_axis(h, s, axis=0)[0:1, :]
+
+
+def _double_buffer(b, nb, start_fn, wait_fn):
+    """Standard 2-slot pipeline: prefetch b+1 while computing b."""
+    two = jnp.int32(2)
+    slot = lax.rem(b, two)
+    nxt = lax.rem(b + jnp.int32(1), two)
+
+    @pl.when(b == 0)
+    def _():
+        start_fn(0, 0)
+
+    @pl.when(b + 1 < nb)
+    def _():
+        start_fn(nxt, b + 1)
+
+    wait_fn(slot, b)
+    return slot
+
+
+def _win_search(cw, p, s_elem, n):
+    """Bitwise binary search: rel[0, j] = #{w: flat(cw)[w] <= p[0, j]}
+    (clipped into the window) and the global ancestor index."""
+    r = jnp.zeros((1, FOLD), jnp.int32)
+    k = WINDOW
+    while k > 1:
+        k //= 2
+        cand = r + k
+        gi = jnp.minimum(cand - 1, WINDOW - 1)
+        v = _lookup(cw, gi)
+        r = jnp.where((cand <= WINDOW) & (v <= p), cand, r)
+    rel = jnp.clip(r, 0, WINDOW - 1)
+    anc = jnp.minimum(s_elem + rel, n - 1)
+    return rel, anc
+
+
+def _take_kernel(srows_ref, a_ref, x_ref, y_ref, xwin, sems,
+                 *, nb, qrows, d, n):
+    b = pl.program_id(0)
+
+    def start(slot, i):
+        pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(srows_ref[i], WROWS), :],
+            xwin.at[slot], sems.at[slot]).start()
+
+    def wait(slot, i):
+        pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(srows_ref[i], WROWS), :],
+            xwin.at[slot], sems.at[slot]).wait()
+
+    slot = _double_buffer(b, nb, start, wait)
+    s_elem = srows_ref[b] * FOLD
+    xw = xwin[slot]
+    for qr in range(qrows):
+        rel = jnp.clip(a_ref[0, qr:qr + 1, :] - s_elem, 0, WINDOW - 1)
+        for ri in range(d):
+            y_ref[ri, 0, qr:qr + 1, :] = _lookup(xw[ri], rel)
+
+
+def _search_kernel(srows_ref, pos_ref, cdf_ref, x_ref, y_ref, anc_ref,
+                   cwin, xwin, sems, *, nb, qrows, d, n):
+    b = pl.program_id(0)
+
+    def start(slot, i):
+        sr = srows_ref[i]
+        pltpu.make_async_copy(
+            cdf_ref.at[pl.ds(sr, WROWS), :],
+            cwin.at[slot], sems.at[0, slot]).start()
+        pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(sr, WROWS), :],
+            xwin.at[slot], sems.at[1, slot]).start()
+
+    def wait(slot, i):
+        sr = srows_ref[i]
+        pltpu.make_async_copy(
+            cdf_ref.at[pl.ds(sr, WROWS), :],
+            cwin.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(sr, WROWS), :],
+            xwin.at[slot], sems.at[1, slot]).wait()
+
+    slot = _double_buffer(b, nb, start, wait)
+    s_elem = srows_ref[b] * FOLD
+    cw = cwin[slot]
+    xw = xwin[slot]
+    for qr in range(qrows):
+        p = pos_ref[0, qr:qr + 1, :]
+        rel, anc = _win_search(cw, p, s_elem, n)
+        anc_ref[0, qr:qr + 1, :] = anc
+        for ri in range(d):
+            y_ref[ri, 0, qr:qr + 1, :] = _lookup(xw[ri], rel)
+
+
+def _merge_rank_ancestors(cdf: jnp.ndarray, positions: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """XLA fallback: rank-by-merge inverse CDF (two argsorts; see
+    resampling/classic.py for the derivation)."""
+    n = cdf.shape[0]
+    merged = jnp.concatenate([cdf, positions.astype(cdf.dtype)])
+    order = jnp.argsort(merged)
+    rank = jnp.argsort(order)
+    a = rank[n:] - jnp.arange(positions.shape[0])
+    return jnp.clip(a, 0, n - 1).astype(jnp.int32)
+
+
+def _start_rows(lo: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Window start ROW (units of FOLD) per block from raw element starts,
+    clipped so the 8-row window stays in bounds."""
+    return jnp.clip(lo >> 7, 0, n // FOLD - WROWS).astype(jnp.int32)
+
+
+def take_columns(X: jnp.ndarray, a: jnp.ndarray, *,
+                 tile: int = DEFAULT_TILE,
+                 interpret: bool = False) -> jnp.ndarray:
+    """``X[:, a]`` for X [d, N] and int32 ancestors a [N].
+
+    Fast path requires ``a`` monotone non-decreasing and in-range —
+    verified at runtime (one elementwise pass); violations fall back to
+    ``jnp.take`` inside a ``lax.cond``, so the op is safe for ANY ancestor
+    vector (residual's shuffled tail, user-supplied indices, ...).
+    """
+    d, n = X.shape
+    if not _use_pallas(d, n, tile, X.dtype, interpret):
+        return jnp.take(X, a, axis=1)
+
+    nb = n // tile
+    qrows = tile // FOLD
+    srows = _start_rows(a[::tile], n)
+    block_max = a[tile - 1::tile]
+    ok = (jnp.all(a[1:] >= a[:-1])
+          & (a[0] >= 0) & (a[-1] < n)
+          & jnp.all(block_max - srows * FOLD < WINDOW))
+
+    def pallas_branch(args):
+        X_, a_, srows_ = args
+        xf = X_.reshape(d, n // FOLD, FOLD)
+        af = a_.reshape(nb, qrows, FOLD)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((d, 1, qrows, FOLD),
+                                   lambda b, *_: (0, b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, d, WROWS, FOLD), X_.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+
+        def build_and_call():
+            # force_tpu_interpret_mode is consulted when pallas_call is
+            # CONSTRUCTED, so construction happens inside the context.
+            call = pl.pallas_call(
+                functools.partial(_take_kernel, nb=nb, qrows=qrows, d=d,
+                                  n=n),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((d, nb, qrows, FOLD),
+                                               X_.dtype),
+            )
+            return call(srows_, af, xf).reshape(d, n)
+
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                return build_and_call()
+        return build_and_call()
+
+    def xla_branch(args):
+        X_, a_, _ = args
+        return jnp.take(X_, a_, axis=1)
+
+    return lax.cond(ok, pallas_branch, xla_branch, (X, a, srows))
+
+
+def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
+                      X: jnp.ndarray, *, tile: int = DEFAULT_TILE,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused inverse-CDF resample: ancestors AND resampled state in one
+    kernel pass.
+
+    ``cdf`` [N] is the inclusive normalized-weight cumsum, ``positions``
+    [N] are SORTED resampling positions in [0, 1) (systematic /
+    stratified / sorted-uniform multinomial — see
+    ``resampling.classic.POSITION_FNS``), ``X`` [d, N] packed particles.
+    Returns ``(X[:, a], a)`` with ``a[i] = #{j: cdf[j] <= positions[i]}``
+    clipped to N-1 — identical semantics to the merge-rank fallback.
+    """
+    d, n = X.shape
+    if not _use_pallas(d, n, tile, X.dtype, interpret):
+        a = _merge_rank_ancestors(cdf, positions)
+        return jnp.take(X, a, axis=1), a
+
+    nb = n // tile
+    qrows = tile // FOLD
+    # Coarse block ranks: one small searchsorted (nb+1 queries) gives each
+    # block's window start and a conservative span bound (block b's max
+    # rank <= rank of position (b+1)*T <= lo[b+1]; the final entry uses
+    # the last position exactly).
+    q = jnp.concatenate([positions[::tile], positions[-1:]])
+    lo = jnp.searchsorted(cdf, q, side="right").astype(jnp.int32)
+    srows = _start_rows(lo[:-1], n)
+    ok = jnp.all(jnp.minimum(lo[1:], n - 1) - srows * FOLD < WINDOW)
+
+    def pallas_branch(args):
+        cdf_, pos_, X_, srows_ = args
+        cf = cdf_.reshape(n // FOLD, FOLD)
+        pf = pos_.reshape(nb, qrows, FOLD)
+        xf = X_.reshape(d, n // FOLD, FOLD)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((d, 1, qrows, FOLD),
+                             lambda b, *_: (0, b, 0, 0)),
+                pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, WROWS, FOLD), cdf_.dtype),
+                pltpu.VMEM((2, d, WROWS, FOLD), X_.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+
+        def build_and_call():
+            call = pl.pallas_call(
+                functools.partial(_search_kernel, nb=nb, qrows=qrows, d=d,
+                                  n=n),
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((d, nb, qrows, FOLD), X_.dtype),
+                    jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.int32),
+                ],
+            )
+            y, a = call(srows_, pf, cf, xf)
+            return y.reshape(d, n), a.reshape(n)
+
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                return build_and_call()
+        return build_and_call()
+
+    def xla_branch(args):
+        cdf_, pos_, X_, _ = args
+        a = _merge_rank_ancestors(cdf_, pos_)
+        return jnp.take(X_, a, axis=1), a
+
+    return lax.cond(ok, pallas_branch, xla_branch, (cdf, positions, X, srows))

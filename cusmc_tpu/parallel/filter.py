@@ -21,6 +21,7 @@ from cusmc_tpu.models.dlm import DLM
 from cusmc_tpu.parallel.mesh import PARTICLE_AXIS
 from cusmc_tpu.parallel.resampling import (
     allgather_resample_op,
+    ring_cdf_resample_op,
     roll_metropolis_sharded_op,
 )
 from cusmc_tpu.smc.particle_filter import FilterResult, bootstrap_filter
@@ -55,13 +56,22 @@ def sharded_bootstrap_filter(
         raise ValueError(f"num_particles={num_particles} not divisible by "
                          f"mesh axis {axis!r} size {n_shards}")
     n_local = num_particles // n_shards
-    # Metropolis uses the gather-free rotated-window exchange (packed
-    # layout, ppermute ICI traffic ~ shard size); CDF-based resamplers use
-    # the allgather exchange (batch layout, exact global ancestry).
+    from cusmc_tpu.models.base import supports_packed
+
+    # Metropolis: gather-free global-proposal exchange (packed layout; see
+    # roll_metropolis_sharded_op for the exchange="windowed" low-traffic
+    # variant). CDF resamplers: the O(n_local*d)-memory ring exchange when
+    # the model supports the packed layout, else the allgather fallback
+    # (batch layout, O(N*d) memory).
     if resampler == "metropolis":
         layout = "packed"
         resample_op = roll_metropolis_sharded_op(
             axis, num_particles, n_local, **(resampler_kwargs or {}))
+    elif supports_packed(model):
+        layout = "packed"
+        resample_op = ring_cdf_resample_op(
+            resampler, axis, num_particles, n_local,
+            **(resampler_kwargs or {}))
     else:
         layout = "batch"
         resample_op = allgather_resample_op(

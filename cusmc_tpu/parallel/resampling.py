@@ -2,21 +2,36 @@
 
 The hard part of sharded SMC (SURVEY.md §7 "Hard parts"): resamplers need
 *global* weight information and ancestor states may live on other shards.
-Strategy (round 1, "allgather" exchange):
+Weights are always cheap — ``all_gather`` of the log-weight vector is O(N)
+scalars (4 MB at N=1M f32) and rides ICI. The STATE exchange is where the
+strategies differ:
 
-- weights: ``all_gather`` of the log-weight vector — O(N) scalars, cheap
-  (4 MB at N=1M f32) and rides ICI;
-- ancestor indices: each shard computes ancestors only for its OWN slots,
-  from the gathered weights, with a key COMMON to all shards (systematic
-  needs one shared uniform; the other resamplers fold the shard index for
-  slot-independent streams);
-- states: ``all_gather`` of x [N, d] then a local gather. O(N*d) — fine for
-  the state dims this framework targets (d <= 128); a ppermute-based
-  redistribution that moves only crossing ancestors is the planned
-  optimization.
+- ``ring_cdf_resample_op`` (CDF family, packed [d, L] layout, the
+  default): each shard computes SORTED global ancestors for its own slots
+  from the gathered weights, then the state blocks make one trip around
+  the ring (P-1 ``ppermute`` rounds); each passing block is mined for the
+  slots whose ancestor lives in it via a LOCAL monotone gather
+  (``ops/monotone_gather.take_columns`` — the Pallas window kernel on
+  TPU). Per-device state memory stays O(N/P * d); nothing ever
+  materializes the global [N, d] array (closes SURVEY.md §7's
+  "avoid all-gathering states at large N*d").
+- ``roll_metropolis_sharded_op`` (packed, gather-free): per-sweep GLOBAL
+  uniform proposals via one dynamic-source ppermute + local lane roll per
+  sweep (``exchange="global"``, the default — unbiased for any weight
+  concentration), or the round-1 single rotated 2-shard window
+  (``exchange="windowed"`` — 10x less ICI traffic, but a particle can
+  parent at most ~2*N/P offspring per step, which biases resampling when
+  one weight dominates; fine in healthy-ESS regimes).
+- ``allgather_resample_op`` (batch [L, d] layout): the round-1 fallback —
+  all-gather x [N, d] then a local gather. O(N*d) memory per device; kept
+  for batch-layout models and unsorted-ancestor resamplers.
 
-Each op returns GLOBAL ancestor indices, so sharded ancestry logs are
-directly comparable with single-device runs.
+All ops return GLOBAL ancestor indices, so sharded ancestry logs are
+directly comparable with single-device runs. Ops accepting ``pred``
+support ESS-adaptive filtering without the compute-both-branches
+overhead: collectives run unconditionally (shard_map-safe), local heavy
+work is gated on ``pred``, and identity ancestry is returned when
+``pred`` is False.
 """
 
 from __future__ import annotations
@@ -84,57 +99,190 @@ def make_sharded_ancestor_fn(name: str, axis_name: str, n_global: int,
     return fn
 
 
+def make_sorted_sharded_ancestor_fn(name: str, axis_name: str,
+                                    n_global: int, n_local: int) -> Callable:
+    """Like ``make_sharded_ancestor_fn`` but guaranteed SORTED per shard
+    (what the ring exchange's monotone local gathers want). Systematic and
+    stratified are sorted by construction; multinomial uses per-shard
+    sorted-uniform order statistics (the ancestor multiset stays exactly
+    multinomial — resampling is exchangeable, see resampling/classic.py).
+    """
+    if name in ("systematic", "stratified"):
+        return make_sharded_ancestor_fn(name, axis_name, n_global, n_local)
+    if name == "multinomial":
+        from cusmc_tpu.resampling.classic import sorted_uniforms
+
+        def fn(key, logw_g):
+            k = jax.random.fold_in(key, lax.axis_index(axis_name))
+            u = sorted_uniforms(k, n_local, logw_g.dtype)
+            return jnp.searchsorted(_gathered_cdf(logw_g), u,
+                                    side="right").astype(jnp.int32)
+
+        return fn
+    raise KeyError(f"no sorted sharded variant of resampler {name!r}")
+
+
+def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
+                         n_local: int, **kwargs) -> Callable:
+    """CDF-family resample op with O(n_local * d) state memory.
+
+    Packed [d, L] layout. Weights are all-gathered (O(N) scalars); each
+    shard derives SORTED global ancestors for its slots; then the state
+    blocks ring once around the mesh (P-1 ppermutes of [d, L]) and each
+    passing block is mined by a local monotone gather + mask-select. The
+    global [N, d] state array is never materialized on any device —
+    SURVEY.md §7 "avoid all-gathering states at large N*d".
+
+    ``pred`` (optional traced bool, identical on all shards) gates the
+    local gather work per round and substitutes identity ancestry — the
+    ESS-adaptive path pays only the ring traffic when skipping.
+    """
+    from cusmc_tpu.ops.monotone_gather import take_columns
+
+    ancestor_fn = make_sorted_sharded_ancestor_fn(name, axis_name,
+                                                  n_global, n_local)
+    num_shards = n_global // n_local
+    log_n = math.log(n_global)
+    # device s+1 sends to s: after r rounds, device p holds block (p+r)%P.
+    perm = [((s + 1) % num_shards, s) for s in range(num_shards)]
+
+    def op(key, X, logw, pred=None):
+        logw_g = lax.all_gather(logw, axis_name, tiled=True)
+        a = ancestor_fn(key, logw_g)
+        slots = _global_slots(n_local, axis_name)
+        if pred is not None:
+            a = jnp.where(pred, a, slots)
+        p = lax.axis_index(axis_name)
+
+        out = X
+        blk = X
+        for r in range(num_shards):
+            base = lax.rem(p + jnp.int32(r), jnp.int32(num_shards)) * n_local
+
+            def mine(out_, blk_=blk, base_=base):
+                rel = jnp.clip(a - base_, 0, n_local - 1)
+                vals = take_columns(blk_, rel)
+                mask = (a >= base_) & (a < base_ + n_local)
+                return jnp.where(mask[None, :], vals, out_)
+
+            if pred is None:
+                out = mine(out)
+            else:
+                out = lax.cond(pred, mine, lambda o: o, out)
+            if r < num_shards - 1:
+                blk = lax.ppermute(blk, axis_name, perm)
+
+        logw_out = jnp.full((n_local,), -log_n, logw.dtype)
+        if pred is not None:
+            logw_out = jnp.where(pred, logw_out, logw)
+        return out, logw_out, a
+
+    return op
+
+
 def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
-                               num_steps: int = 10) -> Callable:
+                               num_steps: int = 10,
+                               exchange: str = "global") -> Callable:
     """Gather-free distributed Metropolis resampling in packed [d, L] layout.
 
-    One global rotation per step (2 ``ppermute`` neighbor exchanges + a
-    local roll) re-bases every shard onto a random window of the GLOBAL
-    particle array; the B Metropolis sweeps then run shard-locally with the
-    coalesced roll scheme (``cusmc_tpu.resampling.rolls``). Equivalent to
-    the windowed-Megopolis scheme with window = shard size: each chain is a
-    valid Metropolis chain over the weights, and windows re-randomize every
-    step. ICI traffic: 2 x (d+1) x L floats per step — independent of B —
-    versus the allgather exchange's N x d.
+    ``exchange="global"`` (default): every sweep b draws a fresh GLOBAL
+    proposal alignment — a uniform source shard q_b (one dynamic-source
+    ``ppermute`` via ``lax.switch``) plus a uniform local lane roll s_b —
+    so slot i's candidate is particle ((p+q_b) mod P, (i+s_b) mod L),
+    marginally uniform over all N particles. This matches the
+    single-device roll scheme's proposal law exactly: unbiased for ANY
+    weight concentration (a w->1 particle can parent ~N offspring).
+    ICI traffic: num_steps x (d+1) x L floats per step.
 
-    Returns GLOBAL ancestor indices like the allgather ops.
+    ``exchange="windowed"`` (round 1 behavior): ONE global rotation per
+    step places a 2-shard window; all B sweeps propose inside it. 10x less
+    traffic (2 x (d+1) x L, independent of B), but a particle can parent
+    at most ~2L offspring per step — biased when one weight dominates
+    (quantified in tests/test_parallel.py::test_sharded_concentrated_
+    weights); fine in healthy-ESS regimes.
+
+    Returns GLOBAL ancestor indices like the other ops. ``pred`` gates
+    the local accept/select work (windowed: also the sweeps); collective
+    traffic is unconditional as shard_map requires.
     """
 
     num_shards = n_global // n_local
     log_n = math.log(n_global)
 
-    def op(key, X, logw):
+    def from_shift(shift):
+        perm = [((s + shift) % num_shards, s) for s in range(num_shards)]
+        return lambda v: lax.ppermute(v, axis_name, perm)
+
+    branches = [from_shift(j) for j in range(num_shards)]
+
+    def op_global(key, X, logw, pred=None):
+        p = lax.axis_index(axis_name)
+        both = jnp.concatenate([X, logw[None, :]], axis=0)  # [d+1, L]
+        iota = jnp.arange(n_local, dtype=jnp.int32)
+        slots = p * n_local + iota
+
+        x_cur, lw_cur, a_cur = X, logw, slots
+        for b in range(num_steps):
+            kb = jax.random.fold_in(key, b)
+            kq, ks, ku = jax.random.split(kb, 3)
+            # q, s common across shards (key replicated); accept uniforms
+            # per-slot independent (shard-folded).
+            q = jax.random.randint(kq, (), 0, num_shards, jnp.int32)
+            s = jax.random.randint(ks, (), 0, n_local, jnp.int32)
+            cand = lax.switch(q, branches, both)        # [d+1, L] shard p+q
+            cand = jnp.roll(cand, -s, axis=1)           # slot i <- (i+s)%L
+            log_u = jnp.log(jax.random.uniform(
+                jax.random.fold_in(ku, p), (n_local,), logw.dtype))
+            acc = log_u < (cand[-1] - lw_cur)
+            if pred is not None:
+                acc = acc & pred
+            lw_cur = jnp.where(acc, cand[-1], lw_cur)
+            x_cur = jnp.where(acc[None, :], cand[:-1], x_cur)
+            j_new = (lax.rem(p + q, jnp.int32(num_shards)) * jnp.int32(n_local)
+                     + lax.rem(iota + s, jnp.int32(n_local)))
+            a_cur = jnp.where(acc, j_new, a_cur)
+
+        logw_out = jnp.full((n_local,), -log_n, logw.dtype)
+        if pred is not None:
+            logw_out = jnp.where(pred, logw_out, logw)
+        return x_cur, logw_out, a_cur
+
+    def op_windowed(key, X, logw, pred=None):
         # Common randomness across shards (key is replicated).
         kq, kr, km = jax.random.split(key, 3)
-        q = jax.random.randint(kq, (), 0, num_shards)
-        r = jax.random.randint(kr, (), 0, n_local)
+        q = jax.random.randint(kq, (), 0, num_shards, jnp.int32)
+        r = jax.random.randint(kr, (), 0, n_local, jnp.int32)
         p = lax.axis_index(axis_name)
 
         both = jnp.concatenate([X, logw[None, :]], axis=0)  # [d+1, L]
-
-        def from_shift(shift):
-            perm = [((s + shift) % num_shards, s) for s in range(num_shards)]
-            return lambda v: lax.ppermute(v, axis_name, perm)
-
-        branches = [from_shift(j) for j in range(num_shards)]
         a_part = lax.switch(q, branches, both)
         b_part = lax.switch((q + 1) % num_shards, branches, both)
         window = jnp.concatenate([a_part, b_part], axis=1)   # [d+1, 2L]
-        rotated = lax.dynamic_slice_in_dim(window, r, n_local, axis=1)
+        slots = p * n_local + jnp.arange(n_local, dtype=jnp.int32)
 
-        X_rot = rotated[:-1]
-        lw_rot = rotated[-1]
-        k_shard = jax.random.fold_in(km, p)
-        from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps
+        def sweeps(_):
+            rotated = lax.dynamic_slice_in_dim(window, r, n_local, axis=1)
+            X_rot = rotated[:-1]
+            lw_rot = rotated[-1]
+            k_shard = jax.random.fold_in(km, p)
+            from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps
 
-        x_anc, a_loc = roll_metropolis_sweeps(k_shard, X_rot, lw_rot,
-                                              num_steps)
-        # Rotated local slot j holds global particle (p*L + j + q*L + r) % N.
-        a_global = jax.lax.rem(p * n_local + a_loc + q * n_local + r,
-                               n_global)
-        return x_anc, jnp.full((n_local,), -log_n, logw.dtype), a_global
+            x_anc, a_loc = roll_metropolis_sweeps(k_shard, X_rot, lw_rot,
+                                                  num_steps)
+            # Rotated local slot j holds global particle
+            # (p*L + j + q*L + r) % N.
+            a_global = lax.rem(
+                (p + q) * jnp.int32(n_local) + a_loc + r,
+                jnp.int32(n_global)).astype(jnp.int32)
+            return (x_anc, jnp.full((n_local,), -log_n, logw.dtype),
+                    a_global)
 
-    return op
+        if pred is None:
+            return sweeps(None)
+        return lax.cond(pred, sweeps,
+                        lambda _: (X, logw, slots), None)
+
+    return op_global if exchange == "global" else op_windowed
 
 
 def allgather_resample_op(name: str, axis_name: str, n_global: int,

@@ -7,9 +7,13 @@ The reference ships only the Metropolis resampler (its registry at
 normalized-weight CDF. All operate on log-weights and return int32 ancestor
 indices [N].
 
-The CDF inversion is expressed as a searchsorted over a cumulative sum —
-XLA lowers this to a vectorized binary search; a Pallas segmented prefix-sum
-variant lives in ``cusmc_tpu.ops`` for the sharded path.
+All three CDF resamplers factor as (sorted positions in [0,1)) x (inverse
+CDF). The position generators are exposed in ``POSITION_FNS`` so the packed
+filter path can feed them to the fused window-walk kernel
+(``cusmc_tpu.ops.monotone_gather.inverse_cdf_apply``) which computes
+ancestors in-kernel AND applies them in one HBM pass. The functions here
+use the XLA rank-by-merge inversion (no searchsorted binary search, which
+costs ~160 ms at N=1M on v5e) and are the CPU/batch-layout/oracle path.
 """
 
 from __future__ import annotations
@@ -53,20 +57,32 @@ def _merge_rank(sorted_ref: jnp.ndarray, sorted_queries: jnp.ndarray
     return rank[m:] - jnp.arange(sorted_queries.shape[0])
 
 
-def systematic_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:
+def systematic_positions(key: jax.Array, n: int, dtype=jnp.float32
+                         ) -> jnp.ndarray:
     """One shared uniform offset: positions (i + u)/N. Lowest variance."""
+    u = jax.random.uniform(key, (), dtype=dtype)
+    return (jnp.arange(n, dtype=dtype) + u) / n
+
+
+def stratified_positions(key: jax.Array, n: int, dtype=jnp.float32
+                         ) -> jnp.ndarray:
+    """Independent uniform per stratum: positions (i + u_i)/N."""
+    u = jax.random.uniform(key, (n,), dtype=dtype)
+    return (jnp.arange(n, dtype=dtype) + u) / n
+
+
+def systematic_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:
+    """Systematic resampling (shared offset); see ``systematic_positions``."""
     n = log_weights.shape[0]
-    u = jax.random.uniform(key, (), dtype=log_weights.dtype)
-    positions = (jnp.arange(n, dtype=log_weights.dtype) + u) / n
-    return _inverse_cdf(positions, log_weights)
+    return _inverse_cdf(systematic_positions(key, n, log_weights.dtype),
+                        log_weights)
 
 
 def stratified_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:
-    """Independent uniform per stratum: positions (i + u_i)/N."""
+    """Stratified resampling (per-stratum offsets)."""
     n = log_weights.shape[0]
-    u = jax.random.uniform(key, (n,), dtype=log_weights.dtype)
-    positions = (jnp.arange(n, dtype=log_weights.dtype) + u) / n
-    return _inverse_cdf(positions, log_weights)
+    return _inverse_cdf(stratified_positions(key, n, log_weights.dtype),
+                        log_weights)
 
 
 def sorted_uniforms(key: jax.Array, n: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -91,6 +107,15 @@ def multinomial_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarr
     n = log_weights.shape[0]
     return _inverse_cdf(sorted_uniforms(key, n, log_weights.dtype),
                         log_weights)
+
+
+# Sorted-position generators for the fused inverse-CDF kernel
+# (ops/monotone_gather.inverse_cdf_apply): (key, n, dtype) -> positions [n].
+POSITION_FNS = {
+    "systematic": systematic_positions,
+    "stratified": stratified_positions,
+    "multinomial": sorted_uniforms,
+}
 
 
 def residual_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:

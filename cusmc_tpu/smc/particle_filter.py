@@ -41,10 +41,7 @@ from cusmc_tpu.diagnostics.metrics import effective_sample_size, log_normalize
 from cusmc_tpu.models.dlm import DLM
 from cusmc_tpu.ops.fused_step import MAX_UNROLL_DIM, fused_filter_step
 from cusmc_tpu.resampling import get_resampler
-from cusmc_tpu.resampling.rolls import (
-    roll_metropolis_resample_op,
-    systematic_ancestors_sortfree,
-)
+from cusmc_tpu.resampling.rolls import roll_metropolis_resample_op
 
 
 class FilterResult(struct.PyTreeNode):
@@ -79,7 +76,23 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
     axis_name is None). The resample key is COMMON across shards (needed for
     globally-consistent systematic positions); the propagate key is folded
     with the shard index so noise is shard-unique.
+
+    ESS-adaptive + sharded: ops exposing a ``pred`` keyword (the ops in
+    ``cusmc_tpu.parallel.resampling``) are called ONCE with the resample
+    predicate — they keep collectives unconditional (shard_map-safe) and
+    gate the local heavy work internally, so skipping costs ~only the
+    ring/window traffic. Ops without ``pred`` fall back to
+    compute-both-and-select.
     """
+    import inspect
+
+    op_takes_pred = False
+    if resample_op is not None and ess_threshold is not None:
+        try:
+            op_takes_pred = ("pred"
+                             in inspect.signature(resample_op).parameters)
+        except (TypeError, ValueError):
+            op_takes_pred = False
 
     def step(carry, inp):
         x, logw, key = carry
@@ -109,6 +122,10 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
             x_anc, logw_pre, a = lax.cond(
                 ess < ess_threshold * num_particles_global,
                 do_resample, skip_resample, None)
+        elif op_takes_pred:
+            # Collective-aware op: one call, local work gated internally.
+            pred = ess < ess_threshold * num_particles_global
+            x_anc, logw_pre, a = resample_op(k_res, x, logw, pred=pred)
         else:
             # Under shard_map, keep collectives unconditional (cond with
             # collective bodies is fragile); compute both and select.
@@ -202,13 +219,17 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
     """Packed-layout [d, N] resample op for a registry key.
 
     "metropolis" -> gather-free roll-Metropolis sweeps;
-    others       -> registry ancestor fn (sorted/monotone by construction
-    for the CDF family) applied via the block-banded one-hot-matmul Pallas
-    kernel (``ops/monotone_gather``) on TPU — the random lane gather it
-    replaces cost ~8 ms at N=1M and capped the CDF resamplers at ~95 M
-    particle-steps/s (benchmarks/RESULTS.md).
+    CDF family (systematic/stratified/multinomial) -> the fused
+    window-walk Pallas kernel ``ops/monotone_gather.inverse_cdf_apply``
+    (in-kernel binary search + dynamic_gather apply): no argsort, no
+    global searchsorted, no random lane gather — the three ops that
+    capped the CDF resamplers at ~95 M particle-steps/s in round 1
+    (benchmarks/RESULTS.md);
+    others (residual, custom) -> registry ancestor fn + ``take_columns``
+    (monotone fast path with a jnp.take fallback for unsorted ancestry).
     """
-    from cusmc_tpu.ops.monotone_gather import take_columns
+    from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply, take_columns
+    from cusmc_tpu.resampling.classic import POSITION_FNS
 
     log_n = math.log(num_particles_global)
 
@@ -216,10 +237,20 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
         return roll_metropolis_resample_op(
             num_particles=num_particles_global, **kwargs)
 
-    if resampler_name == "systematic":
-        ancestor_fn = systematic_ancestors_sortfree
-    else:
-        ancestor_fn = get_resampler(resampler_name, **kwargs)
+    if resampler_name in POSITION_FNS:
+        pos_fn = POSITION_FNS[resampler_name]
+
+        def op(key, X, logw):
+            n = logw.shape[0]
+            wdt = jnp.promote_types(logw.dtype, jnp.float32)
+            cdf = jnp.cumsum(jax.nn.softmax(logw.astype(wdt)))
+            positions = pos_fn(key, n, wdt)
+            x_anc, a = inverse_cdf_apply(cdf, positions, X)
+            return x_anc, jnp.full(logw.shape, -log_n, logw.dtype), a
+
+        return op
+
+    ancestor_fn = get_resampler(resampler_name, **kwargs)
 
     def op(key, X, logw):
         a = ancestor_fn(key, logw)

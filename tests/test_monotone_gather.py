@@ -1,0 +1,111 @@
+"""Tests for the monotone-ancestor apply kernels (ops/monotone_gather).
+
+The kernels contain NO PRNG — unlike the fused filter step, interpret
+mode here is a full correctness test of the kernel logic (window DMAs,
+in-kernel binary search, dynamic_gather apply), not just structure.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cusmc_tpu.ops.monotone_gather import (
+    _merge_rank_ancestors,
+    inverse_cdf_apply,
+    take_columns,
+)
+from cusmc_tpu.resampling.classic import (
+    POSITION_FNS,
+    systematic_ancestors,
+)
+
+N, TILE, D = 2048, 512, 3
+
+
+def _rand_sorted_ancestors(key, n):
+    return jnp.sort(jax.random.randint(key, (n,), 0, n, jnp.int32))
+
+
+def test_take_columns_cpu_fallback(key):
+    # On CPU (no interpret) the op is plain jnp.take.
+    X = jax.random.normal(key, (D, 300), jnp.float32)
+    a = _rand_sorted_ancestors(key, 300)
+    np.testing.assert_array_equal(take_columns(X, a), jnp.take(X, a, axis=1))
+
+
+def test_take_columns_kernel_matches_take(key):
+    X = jax.random.normal(key, (D, N), jnp.float32)
+    a = _rand_sorted_ancestors(key, N)
+    # Random sorted ancestors have bounded block spans whp at this size;
+    # if a span overflowed, the runtime cond falls back to jnp.take and
+    # the assert still holds — both paths are exercised across seeds.
+    out = take_columns(X, a, tile=TILE, interpret=True)
+    np.testing.assert_array_equal(out, jnp.take(X, a, axis=1))
+
+
+def test_take_columns_unsorted_falls_back(key):
+    X = jax.random.normal(key, (D, N), jnp.float32)
+    a = jax.random.randint(key, (N,), 0, N, jnp.int32)  # unsorted
+    out = take_columns(X, a, tile=TILE, interpret=True)
+    np.testing.assert_array_equal(out, jnp.take(X, a, axis=1))
+
+
+@pytest.mark.parametrize("name", sorted(POSITION_FNS))
+def test_inverse_cdf_apply_matches_merge_rank(key, name):
+    kw, kp = jax.random.split(key)
+    logw = jax.random.normal(kw, (N,), jnp.float32)
+    cdf = jnp.cumsum(jax.nn.softmax(logw))
+    positions = POSITION_FNS[name](kp, N, jnp.float32)
+    X = jax.random.normal(kp, (D, N), jnp.float32)
+
+    y, a = inverse_cdf_apply(cdf, positions, X, tile=TILE, interpret=True)
+    a_ref = _merge_rank_ancestors(cdf, positions)
+    np.testing.assert_array_equal(a, a_ref)
+    np.testing.assert_array_equal(y, jnp.take(X, a_ref, axis=1))
+
+
+def test_inverse_cdf_apply_concentrated_weights_fallback(key):
+    # One particle carries ~all the mass at index 0: ranks jump from 0 to
+    # ~N inside one block -> span overflow -> runtime lax.cond fallback.
+    logw = jnp.full((N,), -20.0).at[0].set(0.0)
+    cdf = jnp.cumsum(jax.nn.softmax(logw))
+    positions = POSITION_FNS["systematic"](key, N, jnp.float32)
+    X = jax.random.normal(key, (D, N), jnp.float32)
+
+    y, a = inverse_cdf_apply(cdf, positions, X, tile=TILE, interpret=True)
+    a_ref = _merge_rank_ancestors(cdf, positions)
+    np.testing.assert_array_equal(a, a_ref)
+    np.testing.assert_array_equal(y, jnp.take(X, a_ref, axis=1))
+
+
+def test_inverse_cdf_apply_matches_registry_systematic(key):
+    # End-to-end semantic parity with the registry resampler.
+    logw = jax.random.normal(key, (N,), jnp.float32)
+    cdf = jnp.cumsum(jax.nn.softmax(logw))
+    from cusmc_tpu.resampling.classic import systematic_positions
+
+    positions = systematic_positions(key, N, jnp.float32)
+    X = jax.random.normal(key, (D, N), jnp.float32)
+    _, a = inverse_cdf_apply(cdf, positions, X, tile=TILE, interpret=True)
+    a_reg = systematic_ancestors(key, logw)
+    np.testing.assert_array_equal(a, a_reg)
+
+
+def test_packed_filter_systematic_uses_new_op(key):
+    # The packed-layout filter with a CDF resampler must still match the
+    # Kalman oracle statistically — covered by test_particle_filter; here
+    # just smoke the wiring end to end on CPU.
+    from cusmc_tpu.io.data import demo_model_params
+    from cusmc_tpu.models.dlm import DLM
+    from cusmc_tpu.smc.particle_filter import bootstrap_filter
+
+    model = DLM.create(noise="mvn", **demo_model_params(d=2))
+    _, ys = model.simulate(key, 30)
+    res = bootstrap_filter(key, model, jnp.asarray(ys, jnp.float32), 1024,
+                           resampler="systematic", layout="packed")
+    assert bool(jnp.isfinite(res.log_evidence))
+    assert res.particles.shape == (30, 1024, 2)
+    # ancestors from the fused op must be valid indices
+    assert int(res.ancestors.min()) >= 0
+    assert int(res.ancestors.max()) < 1024

@@ -24,15 +24,33 @@ along the non-gathered axis):
 
 - ``take_columns(X, a)`` — apply a given sorted ancestor vector.
 - ``inverse_cdf_apply(cdf, positions, X)`` — the fully fused resampler:
-  ancestors are computed IN the kernel by a bitwise binary search over
-  the cdf window (10 two-gather lookups per 128 queries), then applied.
-  Replaces cumsum+merge-rank+gather: no argsort, no global searchsorted,
-  one pass over HBM.
+  ancestors are computed IN the kernel, then applied. Replaces
+  cumsum+merge-rank+gather: no argsort, no global searchsorted, one
+  pass over HBM.
 
-Both fall back to the XLA gather path (identical semantics) when the
-backend is not TPU, shapes are ineligible, the ancestors are not
+The search kernel (round 3 rewrite) uses a WIDER 2048-element window
+held as a [16, 128] row-major fold, with a TWO-PHASE rank per query
+vreg of 8 sorted query rows at once:
+
+  phase A (row): one lane-gather materializes every row's max
+  broadcast across lanes; the query's row is a sum of 16 compares —
+  resolves 4 of 11 rank bits with ~1 gather total.
+  phase B (lane): 7-round bitwise search WITHIN the active row; each
+  round's lookup is a select-chain over the 16 row-broadcast vregs
+  (per-sublane-varying lane indices are legal for ``dynamic_gather``;
+  the row masks are loop-invariant and hoisted).
+
+vs the round-2 kernel (1024-window, per-[1,128]-row 10-round two-gather
+search): same ~2 gathers/query/round but 7 rounds instead of 10, half
+the grid steps and DMAs at tile=1024, and no per-round bounds checks.
+The coarse per-block window placement comes from a searchsorted over
+the 128-STRIDED cdf (n/128 elements), not the full cdf — measured
+0.79 ms -> ~0.05 ms at N=1M on v5e (benchmarks/probe_cdf_kernel.py).
+
+Both ops fall back to the XLA gather path (identical semantics) when
+the backend is not TPU, shapes are ineligible, the ancestors are not
 monotone, or — decided at RUNTIME via ``lax.cond`` — some block's
-ancestor span exceeds the 1024-wide window (pathologically concentrated
+ancestor span exceeds the window (pathologically concentrated
 weights).
 
 Replaces the role of the reference's host-side ancestor gather + H2D
@@ -52,16 +70,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FOLD = 128                 # lanes per fold row
-WROWS = 8                  # fold rows per window (= one f32 vreg of lanes)
-WINDOW = FOLD * WROWS      # 1024-element ancestor window per output block
-DEFAULT_TILE = 512         # output elements per grid block
+WROWS = 8                  # take_columns: fold rows per window (one vreg)
+WINDOW = FOLD * WROWS      # take_columns: 1024-element window per block
+DEFAULT_TILE = 512         # take_columns: output elements per grid block
+SROWS = 16                 # search kernel: fold rows per window
+SWINDOW = FOLD * SROWS     # search kernel: 2048-element window
+SEARCH_TILE = 1024         # search kernel: output elements per grid block
 
 
-def _use_pallas(d: int, n: int, tile: int, dtype, interpret: bool) -> bool:
+def _use_pallas(d: int, n: int, tile: int, dtype, interpret: bool,
+                *, tile_max: int = WINDOW, window: int = WINDOW) -> bool:
     shapes_ok = (n % tile == 0
                  and tile % FOLD == 0
-                 and tile <= WINDOW
-                 and n >= WINDOW
+                 and tile <= tile_max
+                 and n >= window
                  and dtype == jnp.float32)
     return shapes_ok and (interpret or jax.default_backend() == "tpu")
 
@@ -93,20 +115,59 @@ def _double_buffer(b, nb, start_fn, wait_fn):
     return slot
 
 
-def _win_search(cw, p, s_elem, n):
-    """Bitwise binary search: rel[0, j] = #{w: flat(cw)[w] <= p[0, j]}
-    (clipped into the window) and the global ancestor index."""
-    r = jnp.zeros((1, FOLD), jnp.int32)
-    k = WINDOW
+def _rank_two_phase(cw, p):
+    """Two-phase in-window rank for a query-row GROUP.
+
+    ``cw`` [SROWS, FOLD] row-major window fold, ``p`` [h, FOLD] sorted
+    queries (h <= 8 query rows packed in one vreg). Returns
+    ``(rstar, rlow, masks)`` with rank = rstar * FOLD + rlow =
+    #{w: flat(cw)[w] <= p} — exact whenever the true rank < SWINDOW
+    (guaranteed by the caller's span check), clipped to SWINDOW - 1
+    otherwise. ``masks`` (the active-row one-hots) are reused by the
+    apply lookups.
+
+    Phase A: rstar = #{r: cw[r, FOLD-1] <= p} — the query's row — from
+    one const-index lane-gather + SROWS compares. Valid because the
+    window is sorted: rows before rstar are entirely <= p, rows after
+    entirely > p, so the remaining count lives in row rstar and is
+    < FOLD (row rstar's last element is > p by definition of rstar).
+    Phase B: log2(FOLD) bitwise rounds WITHIN row rstar; each lookup is
+    a select-chain over the row-broadcast vregs with loop-invariant
+    masks (dynamic_gather accepts per-sublane-varying lane indices).
+    """
+    h = p.shape[0]
+    rm = jnp.take_along_axis(
+        cw, jnp.full((SROWS, FOLD), FOLD - 1, jnp.int32), axis=1)
+    rstar = jnp.zeros((h, FOLD), jnp.int32)
+    for r in range(SROWS):
+        rstar = rstar + (rm[r:r + 1, :] <= p).astype(jnp.int32)
+    rstar = jnp.minimum(rstar, SROWS - 1)
+    masks = [rstar == r for r in range(1, SROWS)]
+    rows = [jnp.broadcast_to(cw[r:r + 1, :], (h, FOLD))
+            for r in range(SROWS)]
+    rlow = jnp.zeros((h, FOLD), jnp.int32)
+    k = FOLD
     while k > 1:
         k //= 2
-        cand = r + k
-        gi = jnp.minimum(cand - 1, WINDOW - 1)
-        v = _lookup(cw, gi)
-        r = jnp.where((cand <= WINDOW) & (v <= p), cand, r)
-    rel = jnp.clip(r, 0, WINDOW - 1)
-    anc = jnp.minimum(s_elem + rel, n - 1)
-    return rel, anc
+        gi = rlow + (k - 1)
+        v = jnp.take_along_axis(rows[0], gi, axis=1)
+        for r in range(1, SROWS):
+            v = jnp.where(masks[r - 1],
+                          jnp.take_along_axis(rows[r], gi, axis=1), v)
+        rlow = jnp.where(v <= p, rlow + k, rlow)
+    return rstar, rlow, masks
+
+
+def _select_rows(xw_r, masks, rlow):
+    """Apply lookup at (rstar, rlow) via the same masks: xw_r
+    [SROWS, FOLD] one state dimension's window fold -> [h, FOLD]."""
+    h = rlow.shape[0]
+    v = jnp.take_along_axis(
+        jnp.broadcast_to(xw_r[0:1, :], (h, FOLD)), rlow, axis=1)
+    for r in range(1, SROWS):
+        v = jnp.where(masks[r - 1], jnp.take_along_axis(
+            jnp.broadcast_to(xw_r[r:r + 1, :], (h, FOLD)), rlow, axis=1), v)
+    return v
 
 
 def _take_kernel(srows_ref, a_ref, x_ref, y_ref, xwin, sems,
@@ -139,31 +200,33 @@ def _search_kernel(srows_ref, pos_ref, cdf_ref, x_ref, y_ref, anc_ref,
     def start(slot, i):
         sr = srows_ref[i]
         pltpu.make_async_copy(
-            cdf_ref.at[pl.ds(sr, WROWS), :],
+            cdf_ref.at[pl.ds(sr, SROWS), :],
             cwin.at[slot], sems.at[0, slot]).start()
         pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(sr, WROWS), :],
+            x_ref.at[:, pl.ds(sr, SROWS), :],
             xwin.at[slot], sems.at[1, slot]).start()
 
     def wait(slot, i):
         sr = srows_ref[i]
         pltpu.make_async_copy(
-            cdf_ref.at[pl.ds(sr, WROWS), :],
+            cdf_ref.at[pl.ds(sr, SROWS), :],
             cwin.at[slot], sems.at[0, slot]).wait()
         pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(sr, WROWS), :],
+            x_ref.at[:, pl.ds(sr, SROWS), :],
             xwin.at[slot], sems.at[1, slot]).wait()
 
     slot = _double_buffer(b, nb, start, wait)
     s_elem = srows_ref[b] * FOLD
     cw = cwin[slot]
     xw = xwin[slot]
-    for qr in range(qrows):
-        p = pos_ref[0, qr:qr + 1, :]
-        rel, anc = _win_search(cw, p, s_elem, n)
-        anc_ref[0, qr:qr + 1, :] = anc
+    for g in range(0, qrows, 8):
+        h = min(8, qrows - g)
+        p = pos_ref[0, g:g + h, :]
+        rstar, rlow, masks = _rank_two_phase(cw, p)
+        anc = jnp.minimum(s_elem + rstar * FOLD + rlow, n - 1)
+        anc_ref[0, g:g + h, :] = anc
         for ri in range(d):
-            y_ref[ri, 0, qr:qr + 1, :] = _lookup(xw[ri], rel)
+            y_ref[ri, 0, g:g + h, :] = _select_rows(xw[ri], masks, rlow)
 
 
 def _merge_rank_ancestors(cdf: jnp.ndarray, positions: jnp.ndarray
@@ -250,34 +313,54 @@ def take_columns(X: jnp.ndarray, a: jnp.ndarray, *,
 
 
 def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
-                      X: jnp.ndarray, *, tile: int = DEFAULT_TILE,
+                      X: jnp.ndarray, *, cdf128: jnp.ndarray = None,
+                      tile: int = SEARCH_TILE,
                       interpret: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused inverse-CDF resample: ancestors AND resampled state in one
     kernel pass.
 
-    ``cdf`` [N] is the inclusive normalized-weight cumsum, ``positions``
-    [N] are SORTED resampling positions in [0, 1) (systematic /
+    ``cdf`` [N] is the inclusive weight cumsum — normalization is NOT
+    required: the search is scale-invariant, so callers may pass the raw
+    cumsum and scale ``positions`` by ``cdf[-1]`` (the exp-space filter
+    fast path does exactly that, skipping the softmax pass).
+    ``positions`` [N] are SORTED resampling positions (systematic /
     stratified / sorted-uniform multinomial — see
-    ``resampling.classic.POSITION_FNS``), ``X`` [d, N] packed particles.
-    Returns ``(X[:, a], a)`` with ``a[i] = #{j: cdf[j] <= positions[i]}``
-    clipped to N-1 — identical semantics to the merge-rank fallback.
+    ``resampling.classic.POSITION_FNS`` — times the cdf total),
+    ``X`` [d, N] packed particles. Returns ``(X[:, a], a)`` with
+    ``a[i] = #{j: cdf[j] <= positions[i]}`` clipped to N-1 — identical
+    semantics to the merge-rank fallback.
+
+    ``cdf128`` optionally supplies the 128-strided cdf
+    (``cdf[127::128]``) when the caller already has it
+    (``ops/cumsum.blocked_cumsum`` emits it for free), skipping the
+    strided-slice pass.
     """
     d, n = X.shape
-    if not _use_pallas(d, n, tile, X.dtype, interpret):
+    if not _use_pallas(d, n, tile, X.dtype, interpret,
+                       tile_max=SWINDOW // 2, window=SWINDOW):
         a = _merge_rank_ancestors(cdf, positions)
         return jnp.take(X, a, axis=1), a
 
     nb = n // tile
     qrows = tile // FOLD
-    # Coarse block ranks: one small searchsorted (nb+1 queries) gives each
-    # block's window start and a conservative span bound (block b's max
-    # rank <= rank of position (b+1)*T <= lo[b+1]; the final entry uses
-    # the last position exactly).
+    # Coarse block placement from the 128-STRIDED cdf: r128 = #{k:
+    # cdf[(k+1)*128-1] <= q} is exactly the fold row of rank(q) (rows
+    # before r128 are fully <= q, row r128's last element is > q), so
+    # window starts and a conservative span bound need only [n/128]-vs-
+    # (nb+1) sorted ranks (block b's max rank < 128 * (r128[b+1] + 1);
+    # the final query uses the last position exactly). Both sides are
+    # sorted, so rank-by-merge (two tiny argsorts, ~0.02 ms) beats
+    # searchsorted's gather rounds (~0.12 ms) — benchmarks/probe_cumsum.
+    if cdf128 is None:
+        cdf128 = cdf[FOLD - 1::FOLD]
+    m = cdf128.shape[0]
     q = jnp.concatenate([positions[::tile], positions[-1:]])
-    lo = jnp.searchsorted(cdf, q, side="right").astype(jnp.int32)
-    srows = _start_rows(lo[:-1], n)
-    ok = jnp.all(jnp.minimum(lo[1:], n - 1) - srows * FOLD < WINDOW)
+    merged = jnp.concatenate([cdf128, q.astype(cdf128.dtype)])
+    rank = jnp.argsort(jnp.argsort(merged))
+    r128 = (rank[m:] - jnp.arange(nb + 1)).astype(jnp.int32)
+    srows = jnp.clip(r128[:-1], 0, n // FOLD - SROWS)
+    ok = jnp.all(jnp.minimum(r128[1:], n // FOLD - 1) - srows < SROWS)
 
     def pallas_branch(args):
         cdf_, pos_, X_, srows_ = args
@@ -298,8 +381,8 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
                 pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, WROWS, FOLD), cdf_.dtype),
-                pltpu.VMEM((2, d, WROWS, FOLD), X_.dtype),
+                pltpu.VMEM((2, SROWS, FOLD), cdf_.dtype),
+                pltpu.VMEM((2, d, SROWS, FOLD), X_.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )

@@ -203,6 +203,52 @@ def _fast_metropolis_step_factory(propagate_fn: Callable,
     return step
 
 
+def _fast_cdf_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
+                           num_particles: int, pos_fn: Callable,
+                           return_history: bool = True):
+    """Exp-space fast path for (packed, CDF-family resampler,
+    always-resample, single shard) — the systematic north-star config
+    (BASELINE.md config 3). Mirrors ``_fast_metropolis_step_factory``:
+    the carry holds max-normalized exp weights ``w``; ESS and the
+    evidence increment are fused sums over ``w``; and the resampler
+    consumes the UNNORMALIZED inclusive cumsum directly, scaling the
+    positions by the total instead — the inverse-CDF search is
+    scale-invariant, so the softmax pass disappears entirely.
+
+    Ancestors and outputs match the generic ``_step_factory`` path to
+    float rounding (cdf/position compares happen in the same relative
+    scale).
+    """
+    log_n = math.log(num_particles)
+    from cusmc_tpu.ops.cumsum import blocked_cumsum
+    from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply
+
+    def step(carry, inp):
+        x, w, key = carry
+        t, y_t = inp
+        key_t = jax.random.fold_in(key, t)
+        k_res, k_prop = jax.random.split(key_t)
+
+        s1 = jnp.sum(w)
+        s2 = jnp.sum(w * w)
+        ess = s1 * s1 / s2
+
+        cdf, cdf128 = blocked_cumsum(w)
+        positions = pos_fn(k_res, num_particles, w.dtype) * cdf[-1]
+        x_anc, a = inverse_cdf_apply(cdf, positions, x, cdf128=cdf128)
+        x_new = propagate_fn(k_prop, x_anc)
+        ll = logpdf_fn(y_t, x_new)
+        m = jnp.max(ll)
+        w_new = jnp.exp(ll - m)
+        lz_inc = m + jnp.log(jnp.sum(w_new)) - log_n
+
+        carry = (x_new, w_new, key)
+        history = (x_new, ll, a) if return_history else ()
+        return carry, (history, ess, lz_inc)
+
+    return step
+
+
 def local_resample_op(resampler: Callable, num_particles_global: int):
     """Batch-layout resample op from a (key, logw) -> idx resampler."""
     log_n = math.log(num_particles_global)
@@ -243,9 +289,64 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
         def op(key, X, logw):
             n = logw.shape[0]
             wdt = jnp.promote_types(logw.dtype, jnp.float32)
-            cdf = jnp.cumsum(jax.nn.softmax(logw.astype(wdt)))
+            from cusmc_tpu.ops.cumsum import blocked_cumsum
+
+            cdf, cdf128 = blocked_cumsum(jax.nn.softmax(logw.astype(wdt)))
             positions = pos_fn(key, n, wdt)
-            x_anc, a = inverse_cdf_apply(cdf, positions, X)
+            x_anc, a = inverse_cdf_apply(cdf, positions, X, cdf128=cdf128)
+            return x_anc, jnp.full(logw.shape, -log_n, logw.dtype), a
+
+        return op
+
+    if resampler_name == "residual":
+        from cusmc_tpu.ops.cumsum import blocked_cumsum
+        from cusmc_tpu.resampling.classic import _residual_positions
+
+        def op(key, X, logw):
+            # Two fused inverse-CDF kernel passes (deterministic-floor
+            # grid + residual order statistics) and a dynamic roll —
+            # replaces the registry path's merge-ranks + random gather
+            # (6.2 M particle-steps/s in round 2, benchmarks/RESULTS.md).
+            # Law identical to resampling.classic.residual_ancestors.
+            n = logw.shape[0]
+            wdt = jnp.promote_types(logw.dtype, jnp.float32)
+            w = jax.nn.softmax(logw.astype(wdt))
+            nw = n * w
+            counts = jnp.floor(nw)
+            ccum, c128 = blocked_cumsum(counts)
+            n_det = jnp.minimum(ccum[-1], n).astype(jnp.int32)
+            rcdf, r128 = blocked_cumsum(jnp.maximum(nw - counts, 0.0))
+            slots = jnp.arange(n, dtype=wdt)
+            # Positions must stay INSIDE the cdf range: slots past the
+            # det/residual boundary would rank to N, making the boundary
+            # block's span blow past the kernel window and forcing the
+            # XLA fallback every step. Clamped tail slots land on the
+            # last active entry; their outputs are masked off below.
+            # tile=512 for the integer-grid det call: its spans are
+            # ~1024 * N/n_det (zero-count runs collapse onto one value),
+            # which overflows the 2048 window at tile=1024 when fewer
+            # than half the slots are deterministic.
+            p_det = jnp.minimum(slots + 0.5, n_det.astype(wdt) - 0.5)
+            x_det, a_det = inverse_cdf_apply(ccum, p_det, X,
+                                             cdf128=c128, tile=512)
+            v = jnp.minimum(_residual_positions(key, n, n_det, wdt),
+                            1.0 - 1e-6) * rcdf[-1]
+            x_res, a_res = inverse_cdf_apply(rcdf, v, X, cdf128=r128)
+            # Align draw k to slot n_det + k: roll right by n_det. A
+            # traced-shift jnp.roll lowers to a random gather (~8 ms per
+            # [N] array at N=1M on v5e); double-and-slice is two
+            # contiguous DMAs.
+
+            def droll(arr, s):
+                two = jnp.concatenate([arr, arr], axis=-1)
+                return lax.dynamic_slice_in_dim(
+                    two, arr.shape[-1] - s, arr.shape[-1], axis=-1)
+
+            a_res = droll(a_res, n_det)
+            x_res = droll(x_res, n_det)
+            mask = slots < n_det
+            a = jnp.where(mask, a_det, a_res)
+            x_anc = jnp.where(mask[None, :], x_det, x_res)
             return x_anc, jnp.full(logw.shape, -log_n, logw.dtype), a
 
         return op
@@ -396,15 +497,21 @@ def bootstrap_filter(
                 f"a multiple of 128, standard MVT with concrete df >= 2, "
                 f"and a float32 state (no state_dtype=bfloat16)")
 
-    # Exp-space fast path: the exact reference configuration (packed
-    # metropolis, resample every step, one shard) carries max-normalized
-    # exp weights through the scan — see _fast_metropolis_step_factory.
-    fast_metropolis = (engine == "xla" and packed
-                       and resampler == "metropolis"
-                       and ess_threshold is None and axis_name is None
-                       and resample_op is None and not debug_checks)
+    # Exp-space fast paths (packed, resample every step, one shard):
+    # carry max-normalized exp weights through the scan — metropolis is
+    # the exact reference configuration, the CDF family is the
+    # systematic north star (see _fast_metropolis_step_factory /
+    # _fast_cdf_step_factory).
+    from cusmc_tpu.resampling.classic import POSITION_FNS
 
-    if engine != "pallas" and not fast_metropolis and resample_op is None:
+    fast_common = (engine == "xla" and packed and ess_threshold is None
+                   and axis_name is None and resample_op is None
+                   and not debug_checks)
+    fast_metropolis = fast_common and resampler == "metropolis"
+    fast_cdf = fast_common and resampler in POSITION_FNS
+    fast_exp = fast_metropolis or fast_cdf
+
+    if engine != "pallas" and not fast_exp and resample_op is None:
         if packed:
             resample_op = packed_resample_op(resampler, n_global,
                                              **resampler_kwargs)
@@ -440,11 +547,15 @@ def bootstrap_filter(
         step = _fast_metropolis_step_factory(
             propagate_fn, logpdf_fn, num_particles, num_sweeps,
             return_history, model=model)
+    elif fast_cdf:
+        step = _fast_cdf_step_factory(
+            propagate_fn, logpdf_fn, num_particles,
+            POSITION_FNS[resampler], return_history)
     else:
         step = _step_factory(propagate_fn, logpdf_fn, resample_op,
                              ess_threshold, n_global, axis_name,
                              return_history, debug_checks)
-    if fast_metropolis:
+    if fast_exp:
         w0 = jnp.exp(logw0 - jnp.max(logw0))  # uniform -> ones
         (x_f, w_f, _), (history, esss, lzs) = lax.scan(
             step, (x0, w0, k_scan), (ts, ys[1:]))

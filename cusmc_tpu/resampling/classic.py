@@ -118,6 +118,32 @@ POSITION_FNS = {
 }
 
 
+def _residual_parts(log_weights: jnp.ndarray):
+    """Shared residual-decomposition pieces: (copy-count cumsum [n],
+    n_det scalar int32, residual-weight vector [n])."""
+    n = log_weights.shape[0]
+    w = _normalized_weights(log_weights)
+    nw = n * w
+    counts = jnp.floor(nw)
+    ccum = jnp.cumsum(counts)
+    n_det = jnp.minimum(ccum[-1], n).astype(jnp.int32)
+    resid = jnp.maximum(nw - counts, 0.0)
+    return ccum, n_det, resid
+
+
+def _residual_positions(key: jax.Array, n: int, n_det: jnp.ndarray, dtype):
+    """Sorted positions in [0, 1) whose first R = n - n_det entries are
+    exactly R uniform order statistics (Renyi: S_k / S_{R+1} for
+    exponential-spacing partial sums S) — the traced R costs one dynamic
+    gather of S_{R+1}, no sorting. Entries past R exceed 1 and map to
+    clipped (unused) ranks."""
+    e = -jnp.log(jax.random.uniform(key, (n + 1,), dtype,
+                                    minval=jnp.finfo(dtype).tiny))
+    s = jnp.cumsum(e)
+    s_r1 = jnp.take(s, n - n_det)  # S_{R+1} (0-indexed S[R])
+    return s[:n] / s_r1
+
+
 def residual_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:
     """Residual resampling (Liu & Chen 1998): particle i is copied
     ``floor(N*w_i)`` times deterministically; the remaining
@@ -125,33 +151,31 @@ def residual_ancestors(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarray:
     the residual weights ``N*w_i - floor(N*w_i)``. Variance below
     multinomial, randomness below stratified.
 
-    Static-shape formulation (jit/scan-safe): both the deterministic
-    inverse-CDF over the copy counts and the residual categorical draws are
-    computed for all N slots, then selected by slot index against the
-    (traced) deterministic count.
+    Static-shape formulation (jit/scan-safe), all merge-rank — the round-2
+    version drew the residual part with ``searchsorted`` over iid uniforms
+    (~20 rounds of random gathers, 160 ms at N=1M on v5e). Instead the
+    residual multiset is drawn as SORTED uniform order statistics over the
+    residual CDF — exactly multinomial (resampling is exchangeable, see
+    ``multinomial_ancestors``) — with the traced remainder count R handled
+    by the Renyi representation (``_residual_positions``): no searchsorted,
+    no sorting, one dynamic roll to align the draws to the tail slots.
     """
     n = log_weights.shape[0]
-    w = _normalized_weights(log_weights)
-    nw = n * w
-    counts = jnp.floor(nw)
-    n_det = counts.sum().astype(jnp.int32)  # traced; <= n
-    # Deterministic slots j < n_det: ancestor = inverse CDF of copy counts
-    # (merge-rank; slots are sorted integers).
-    ccum = jnp.cumsum(counts)
+    ccum, n_det, resid = _residual_parts(log_weights)
     slots = jnp.arange(n)
+    # Deterministic slots i < n_det: a_i = #{j: ccum_j <= i} (integer
+    # grid inverse CDF via merge-rank).
     det = _merge_rank(ccum, slots.astype(ccum.dtype))
     det = jnp.minimum(det, n - 1).astype(jnp.int32)
-    # Residual slots j >= n_det: multinomial on the fractional parts. The
-    # draws must be UNSORTED (only a traced-size tail of them is used;
-    # the tail of a sorted sample is order statistics — biased high), so
-    # this piece uses the searchsorted inverse-CDF with iid uniforms.
-    # (jax.random.categorical would build an [n, n] Gumbel tensor — 4 TB
-    # at n=1M; it crashed the TPU compiler before this formulation.)
-    resid = jnp.maximum(nw - counts, jnp.finfo(w.dtype).tiny)
-    rcdf = jnp.cumsum(resid / jnp.sum(resid))
-    rcdf = rcdf.at[-1].set(jnp.asarray(1.0, rcdf.dtype)
-                           + jnp.finfo(rcdf.dtype).eps)
-    u = jax.random.uniform(key, (n,), w.dtype)
-    res = jnp.searchsorted(rcdf, u, side="right").astype(jnp.int32)
-    res = jnp.minimum(res, n - 1)
+    # Residual multiset: R sorted-uniform order statistics through the
+    # residual CDF (unnormalized; positions scaled by the total).
+    rcdf = jnp.cumsum(resid)
+    v = _residual_positions(key, n, n_det, rcdf.dtype) * rcdf[-1]
+    res = _merge_rank(rcdf, v)
+    res = jnp.clip(res, 0, n - 1).astype(jnp.int32)
+    # Slot i >= n_det uses residual draw i - n_det: roll right by n_det.
+    # (Double-and-slice, not jnp.roll — a traced-shift roll lowers to a
+    # random gather on TPU, ~8 ms per [N] array at N=1M.)
+    res = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([res, res]), n - n_det, n)
     return jnp.where(slots < n_det, det, res)

@@ -120,3 +120,53 @@ class TestResamplers:
         a3 = fn(key, logw)
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
+
+
+class TestPackedResidualOp:
+    """The packed-layout residual op (two fused inverse-CDF passes +
+    dynamic roll, smc.particle_filter.packed_resample_op) must follow the
+    same law as the registry resampler."""
+
+    def _op(self, n):
+        from cusmc_tpu.smc.particle_filter import packed_resample_op
+
+        return packed_resample_op("residual", n)
+
+    def test_deterministic_floor_and_gather(self, key):
+        n = 128
+        rng = np.random.default_rng(3)
+        w = rng.random(n) + 0.01
+        w /= w.sum()
+        logw = jnp.log(jnp.asarray(w, jnp.float32))
+        X = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        x_anc, logw_out, a = jax.jit(self._op(n))(key, X, logw)
+        counts = offspring_counts(a, n)
+        assert (counts >= np.floor(n * w) - 1e-9).all()
+        assert counts.sum() == n
+        np.testing.assert_array_equal(np.asarray(x_anc),
+                                      np.asarray(X[:, a]))
+        np.testing.assert_allclose(np.asarray(logw_out),
+                                   -np.log(n) * np.ones(n), rtol=1e-6)
+
+    def test_exact_multiples_all_deterministic(self, key):
+        w = np.array([0.5, 0.25, 0.25, 0.0])
+        logw = jnp.asarray(np.log(np.maximum(w, 1e-30)), jnp.float32)
+        X = jnp.arange(8, dtype=jnp.float32).reshape(2, 4)
+        _, _, a = jax.jit(self._op(4))(key, X, logw)
+        counts = offspring_counts(a, 4)
+        np.testing.assert_array_equal(counts, (4 * w).astype(int))
+
+    def test_unbiased(self, key):
+        n, reps = 32, 2000
+        rng = np.random.default_rng(4)
+        w = rng.random(n) + 0.05
+        w /= w.sum()
+        logw = jnp.log(jnp.asarray(w, jnp.float32))
+        X = jnp.zeros((2, n), jnp.float32)
+        op = jax.jit(self._op(n))
+        keys = jax.random.split(key, reps)
+        ancs = jax.vmap(lambda k: op(k, X, logw)[2])(keys)
+        counts = np.zeros(n)
+        for row in np.asarray(ancs):
+            counts += np.bincount(row, minlength=n)
+        np.testing.assert_allclose(counts / (reps * n), w, atol=0.004)

@@ -123,7 +123,8 @@ def make_sorted_sharded_ancestor_fn(name: str, axis_name: str,
 
 
 def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
-                         n_local: int, **kwargs) -> Callable:
+                         n_local: int, with_stats: bool = False,
+                         **kwargs) -> Callable:
     """CDF-family resample op with O(n_local * d) state memory.
 
     Packed [d, L] layout. Weights are all-gathered (O(N) scalars); each
@@ -133,9 +134,20 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
     global [N, d] state array is never materialized on any device —
     SURVEY.md §7 "avoid all-gathering states at large N*d".
 
+    Ring rounds are pod-scale gated: the ppermutes stay UNCONDITIONAL
+    (shard_map-safe), but each round's local mining runs under a
+    ``lax.cond`` on whether the passing block intersects this shard's
+    ancestor range [a[0], a[-1]] (sorted, so first/last are min/max). A
+    shard's sorted ancestors span ~ceil(L * concentration) contiguous
+    blocks, so at pod scale (P = 64-256) the O(P) local passes collapse
+    to O(span) — typically 1-2 — leaving only the P-deep permute chain.
+
     ``pred`` (optional traced bool, identical on all shards) gates the
     local gather work per round and substitutes identity ancestry — the
     ESS-adaptive path pays only the ring traffic when skipping.
+
+    ``with_stats=True`` makes the op return a 4th element: the number of
+    rounds actually mined on this shard (for tests/diagnostics).
     """
     from cusmc_tpu.ops.monotone_gather import take_columns
 
@@ -153,11 +165,16 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
         if pred is not None:
             a = jnp.where(pred, a, slots)
         p = lax.axis_index(axis_name)
+        a_min, a_max = a[0], a[-1]  # sorted ancestors
 
         out = X
         blk = X
+        mined = jnp.int32(0)
         for r in range(num_shards):
             base = lax.rem(p + jnp.int32(r), jnp.int32(num_shards)) * n_local
+            need = (a_max >= base) & (a_min < base + n_local)
+            if pred is not None:
+                need = need & pred
 
             def mine(out_, blk_=blk, base_=base):
                 rel = jnp.clip(a - base_, 0, n_local - 1)
@@ -165,16 +182,16 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
                 mask = (a >= base_) & (a < base_ + n_local)
                 return jnp.where(mask[None, :], vals, out_)
 
-            if pred is None:
-                out = mine(out)
-            else:
-                out = lax.cond(pred, mine, lambda o: o, out)
+            out = lax.cond(need, mine, lambda o: o, out)
+            mined = mined + need.astype(jnp.int32)
             if r < num_shards - 1:
                 blk = lax.ppermute(blk, axis_name, perm)
 
         logw_out = jnp.full((n_local,), -log_n, logw.dtype)
         if pred is not None:
             logw_out = jnp.where(pred, logw_out, logw)
+        if with_stats:
+            return out, logw_out, a, mined
         return out, logw_out, a
 
     return op

@@ -282,3 +282,38 @@ def test_sharded_systematic_concentrated_exact(mesh, key):
     _, _, a = _run_packed_op(mesh, op, key, X, logw)
     got = _offspring_of_heavy(a)
     assert abs(got - 0.9 * N) <= 1, got
+
+
+def test_ring_round_gating_pod_scale(mesh, key):
+    # Round-3 pod-scale gating: the P-1 ppermutes are unconditional, but
+    # each shard mines only rounds whose passing block intersects its
+    # sorted-ancestor range — O(span) local passes instead of O(P).
+    kx, kr = jax.random.split(key)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    op = ring_cdf_resample_op("systematic", AXIS, N, L, with_stats=True)
+
+    def local(k, Xb, lw):
+        x, lwo, a, mined = op(k, Xb, lw)
+        return x, lwo, a, mined[None]
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(None, AXIS), P(AXIS)),
+                           out_specs=(P(None, AXIS), P(AXIS), P(AXIS),
+                                      P(AXIS)),
+                           check_vma=False))
+
+    # Uniform weights: systematic ancestors track the slot index, so each
+    # shard's span is ~its own block (+1 for boundary straddle).
+    x, _, a, mined = fn(kr, X, jnp.zeros((N,), jnp.float32))
+    assert np.asarray(mined).max() <= 2, np.asarray(mined)
+    np.testing.assert_array_equal(np.asarray(x),
+                                  np.asarray(jnp.take(X, a, axis=1)))
+
+    # Concentrated weight: every ancestor is particle 0 -> exactly ONE
+    # mined round per shard (when block 0 passes by).
+    logw_c = jnp.full((N,), -40.0).at[0].set(0.0)
+    x, _, a, mined = fn(kr, X, logw_c)
+    np.testing.assert_array_equal(np.asarray(mined), np.ones(NSH))
+    assert (np.asarray(a) == 0).all()
+    np.testing.assert_array_equal(np.asarray(x),
+                                  np.asarray(jnp.take(X, a, axis=1)))

@@ -39,12 +39,17 @@ def main():
     pos = systematic_positions(key, N, jnp.float32)
     # mildly compressed sorted ancestors: per-block span < window always
     a = (jnp.arange(N, dtype=jnp.float32) * 0.9).astype(jnp.int32)
+    # NOTE (round-2 advisor): the index expression must depend on the
+    # scan counter i in a non-constant-foldable way, or XLA hoists the
+    # gather indices (and the runtime monotonicity check) out of the
+    # scan body and the probe understates real filter steps. i %% 2
+    # preserves monotonicity and keeps the index pipeline in the loop.
 
     for d in (2, 8, 16):
         X = jax.random.normal(key, (d, N), jnp.float32)
 
         def tc(c, i, d=d):
-            return take_columns(c, jnp.minimum(a + i * 0, N - 1))
+            return take_columns(c, jnp.minimum(a + (i % 2), N - 1))
 
         slope(f"take_columns d={d} tile=512", tc, X)
 
@@ -52,7 +57,7 @@ def main():
         X = jax.random.normal(key, (2, N), jnp.float32)
 
         def tc2(c, i, tile=tile):
-            return take_columns(c, jnp.minimum(a + i * 0, N - 1), tile=tile)
+            return take_columns(c, jnp.minimum(a + (i % 2), N - 1), tile=tile)
 
         slope(f"take_columns d=2 tile={tile}", tc2, X)
 

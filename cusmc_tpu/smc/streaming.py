@@ -50,6 +50,7 @@ def streaming_bootstrap_filter(
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
     layout: str = "packed",
+    halt_on_nonfinite: bool = True,
 ):
     """Run the filter over ``ys`` [T, k] in chunks of ``chunk_steps``.
 
@@ -65,6 +66,15 @@ def streaming_bootstrap_filter(
     store's row i then corresponds to timestep ``store.start_step + i``
     (0 for fresh runs), and the returned ``ess`` likewise starts at the
     resume point.
+
+    ``halt_on_nonfinite`` is the snapshot-and-halt failure guard
+    (SURVEY.md §5 "failure detection / elastic recovery"): each chunk
+    boundary verifies the carry weights and evidence increments are
+    finite; on degeneration the LAST-GOOD carry is auto-saved to
+    ``checkpoint`` (when wired) and ``FilterDivergedError`` is raised
+    with the last good step + snapshot path. A later call with
+    ``resume=True`` (after fixing the observations) continues from the
+    clean prefix with results identical to an uninterrupted run.
     """
     from cusmc_tpu.models.base import supports_packed
 
@@ -145,7 +155,27 @@ def streaming_bootstrap_filter(
         k = min(chunk_steps, num_steps - t)
         ts = jnp.arange(t, t + k)
         ys_chunk = jnp.asarray(ys[t:t + k], dtype)
+        prev_carry, prev_le, prev_t = carry, log_evidence, t
         carry, ((xs, _lls, _ancs), esss, lzs) = run_chunk(carry, ts, ys_chunk)
+        if halt_on_nonfinite:
+            lw_np = np.asarray(carry[1])
+            lz_np = np.asarray(lzs)
+            bad = (np.isnan(lw_np).any() or np.all(np.isneginf(lw_np))
+                   or not np.isfinite(lz_np).all())
+            if bad:
+                from cusmc_tpu.utils.debug import FilterDivergedError
+
+                snap = None
+                if checkpoint is not None:
+                    x_g, logw_g, key_g = prev_carry
+                    snap = checkpoint.save(prev_t - 1, to_rows(x_g), logw_g,
+                                           key_g, prev_le)
+                raise FilterDivergedError(
+                    f"non-finite filter state in steps "
+                    f"[{prev_t}, {prev_t + k}); last good step "
+                    f"{prev_t - 1}"
+                    + (f", snapshot saved to {snap}" if snap else ""),
+                    last_good_step=prev_t - 1, snapshot=snap)
         if store is not None:
             xs_np = np.asarray(xs, np.float32)
             store.append(np.swapaxes(xs_np, 1, 2) if packed else xs_np)

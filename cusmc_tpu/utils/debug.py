@@ -25,6 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class FilterDivergedError(RuntimeError):
+    """Raised by snapshot-and-halt guards (SURVEY.md §5 failure
+    detection): the filter state degenerated (NaN weights / collapsed
+    cloud). Carries the last step with verified-finite state and, when a
+    checkpoint was wired, the path of the auto-saved snapshot to resume
+    from."""
+
+    def __init__(self, message: str, last_good_step: int,
+                 snapshot: str = None):
+        super().__init__(message)
+        self.last_good_step = last_good_step
+        self.snapshot = snapshot
+
+
 @contextlib.contextmanager
 def debug_mode(disable_jit: bool = False):
     """Enable NaN debugging (and optionally eager mode) within a scope."""

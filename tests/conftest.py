@@ -27,6 +27,24 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    """Build the native host lib if missing so the native-IO tests run
+    (native/build is gitignored and dropped at round boundaries; without
+    this the 4 native tests skip silently on fresh checkouts)."""
+    import pathlib
+    import subprocess
+
+    native = pathlib.Path(__file__).resolve().parent.parent / "native"
+    lib = native / "build" / "libcusmc_host.so"
+    if native.is_dir() and not lib.exists():
+        try:
+            subprocess.run(["make", "-C", str(native)], check=True,
+                           capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError) as e:
+            print(f"warning: native lib build failed ({e}); "
+                  "native-IO tests will skip")
+
+
 @pytest.fixture
 def key():
     return jax.random.key(0)

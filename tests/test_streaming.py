@@ -46,3 +46,44 @@ def test_streaming_no_store(key):
                                                store_particles=False)
     assert store is None
     assert result.final_particles.shape == (128, 2)
+
+
+def test_snapshot_and_halt_then_resume(tmp_path, key):
+    # SURVEY.md §5 failure detection: a NaN observation mid-run triggers
+    # snapshot-and-halt; resuming from the auto-snapshot on clean data
+    # reproduces the uninterrupted run exactly.
+    import pytest
+
+    from cusmc_tpu.checkpoint import FilterCheckpoint
+    from cusmc_tpu.utils.debug import FilterDivergedError
+
+    params = demo_model_params()
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys_clean = load_y_sim()[:81]
+    n = 256
+
+    ys_bad = np.array(ys_clean, np.float32)
+    ys_bad[50, 0] = np.nan  # lands in chunk [41, 61)
+
+    ckpt = FilterCheckpoint(str(tmp_path / "snap"), use_orbax=False)
+    with pytest.raises(FilterDivergedError) as ei:
+        streaming_bootstrap_filter(key, model, ys_bad, n, chunk_steps=20,
+                                   resampler="systematic", checkpoint=ckpt)
+    err = ei.value
+    # Chunks are [1,21), [21,41), [41,61): the last good step is 40 and
+    # the auto-snapshot was written for it.
+    assert err.last_good_step == 40
+    assert err.snapshot is not None and "step_40" in err.snapshot
+
+    # Resume on clean observations == uninterrupted run.
+    resumed, _ = streaming_bootstrap_filter(
+        key, model, ys_clean, n, chunk_steps=20, resampler="systematic",
+        checkpoint=ckpt, resume=True, store_particles=False)
+    full, _ = streaming_bootstrap_filter(
+        key, model, ys_clean, n, chunk_steps=20, resampler="systematic",
+        store_particles=False)
+    np.testing.assert_allclose(np.asarray(resumed.final_particles),
+                               np.asarray(full.final_particles),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(resumed.log_evidence),
+                               float(full.log_evidence), rtol=1e-5)

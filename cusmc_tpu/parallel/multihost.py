@@ -29,14 +29,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """
     if num_processes is not None and num_processes <= 1:
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
+    if jax.distributed.is_initialized():  # documented idempotency check
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def global_mesh(axis_sizes: Optional[dict] = None) -> Mesh:

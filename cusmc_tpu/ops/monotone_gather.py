@@ -28,30 +28,45 @@ along the non-gathered axis):
   cumsum+merge-rank+gather: no argsort, no global searchsorted, one
   pass over HBM.
 
-The search kernel (round 3 rewrite) uses a WIDER 2048-element window
-held as a [16, 128] row-major fold, with a TWO-PHASE rank per query
-vreg of 8 sorted query rows at once:
+The search kernel (round 3, merge-path rewrite) holds a 2048-element
+window as a [16, 128] row-major fold and walks A DATA-DEPENDENT NUMBER
+of windows per output block (``lax.fori_loop`` over per-block window
+counts prefetched as scalars): block b's sorted queries span cdf rows
+[r128[b], r128[b+1]], and the kernel loads ceil(span/16) consecutive
+windows, double-buffered across the loop AND across grid blocks. This
+makes the kernel SPAN-PROOF: concentrated weights (long runs of
+zero-weight entries between block boundaries, e.g. the residual
+resampler's floor-count cdf, where measured spans hit 796 rows vs the
+old fixed 16-row window) cost extra window iterations instead of
+falling back to the XLA merge-rank + random-gather path (~8 ms at
+N=1M — benchmarks/probe_residual.py). Total DMA traffic stays O(N):
+the windows tile the global cdf once plus one overlap per block.
+
+Per window, a TWO-PHASE rank resolves each query vreg (8 sorted query
+rows at once):
 
   phase A (row): one lane-gather materializes every row's max
-  broadcast across lanes; the query's row is a sum of 16 compares —
-  resolves 4 of 11 rank bits with ~1 gather total.
-  phase B (lane): 7-round bitwise search WITHIN the active row; each
-  round's lookup is a select-chain over the 16 row-broadcast vregs
-  (per-sublane-varying lane indices are legal for ``dynamic_gather``;
-  the row masks are loop-invariant and hoisted).
+  broadcast across lanes; the count c of window rows <= p places the
+  query's boundary row — c == 16 means "not in this window yet"
+  (16 compares, no gathers), and the per-query result row is
+  accumulated as window_base + c.
+  phase B (lane): 7-round bitwise search WITHIN the boundary row,
+  run only on windows where some query resolves (``pl.when`` skip);
+  each round's lookup is a select-chain over the 16 row-broadcast
+  vregs (per-sublane-varying lane indices are legal for
+  ``dynamic_gather``).
 
-vs the round-2 kernel (1024-window, per-[1,128]-row 10-round two-gather
-search): same ~2 gathers/query/round but 7 rounds instead of 10, half
-the grid steps and DMAs at tile=1024, and no per-round bounds checks.
-The coarse per-block window placement comes from a searchsorted over
+The coarse per-block window placement comes from a rank-by-merge over
 the 128-STRIDED cdf (n/128 elements), not the full cdf — measured
 0.79 ms -> ~0.05 ms at N=1M on v5e (benchmarks/probe_cdf_kernel.py).
 
-Both ops fall back to the XLA gather path (identical semantics) when
-the backend is not TPU, shapes are ineligible, the ancestors are not
-monotone, or — decided at RUNTIME via ``lax.cond`` — some block's
-ancestor span exceeds the window (pathologically concentrated
-weights).
+``take_columns`` falls back to the XLA gather path (identical
+semantics) when the backend is not TPU, shapes are ineligible, the
+ancestors are not monotone, or — decided at RUNTIME via ``lax.cond``
+— some block's ancestor span exceeds its fixed window.
+``inverse_cdf_apply`` needs no runtime fallback (the window walk
+handles any span); only backend/shape/dtype ineligibility routes to
+the XLA path.
 
 Replaces the role of the reference's host-side ancestor gather + H2D
 round-trip (``/root/reference/src/mvn_dist.cu.cpp:194-205``) for the
@@ -115,34 +130,15 @@ def _double_buffer(b, nb, start_fn, wait_fn):
     return slot
 
 
-def _rank_two_phase(cw, p):
-    """Two-phase in-window rank for a query-row GROUP.
-
-    ``cw`` [SROWS, FOLD] row-major window fold, ``p`` [h, FOLD] sorted
-    queries (h <= 8 query rows packed in one vreg). Returns
-    ``(rstar, rlow, masks)`` with rank = rstar * FOLD + rlow =
-    #{w: flat(cw)[w] <= p} — exact whenever the true rank < SWINDOW
-    (guaranteed by the caller's span check), clipped to SWINDOW - 1
-    otherwise. ``masks`` (the active-row one-hots) are reused by the
-    apply lookups.
-
-    Phase A: rstar = #{r: cw[r, FOLD-1] <= p} — the query's row — from
-    one const-index lane-gather + SROWS compares. Valid because the
-    window is sorted: rows before rstar are entirely <= p, rows after
-    entirely > p, so the remaining count lives in row rstar and is
-    < FOLD (row rstar's last element is > p by definition of rstar).
-    Phase B: log2(FOLD) bitwise rounds WITHIN row rstar; each lookup is
-    a select-chain over the row-broadcast vregs with loop-invariant
-    masks (dynamic_gather accepts per-sublane-varying lane indices).
-    """
+def _phase_b(cw, masks, p):
+    """In-row bitwise rank: log2(FOLD) rounds WITHIN each query's
+    boundary row. ``cw`` [SROWS, FOLD] window fold, ``masks`` the
+    boundary-row one-hots for rows 1..SROWS-1 (row 0 is the default),
+    ``p`` [h, FOLD] queries. Each round's lookup is a select-chain over
+    the row-broadcast vregs (dynamic_gather accepts per-sublane-varying
+    lane indices; the masks are loop-invariant and hoisted). Returns
+    ``rlow`` [h, FOLD] = #{lane l in boundary row: cw[row, l] <= p}."""
     h = p.shape[0]
-    rm = jnp.take_along_axis(
-        cw, jnp.full((SROWS, FOLD), FOLD - 1, jnp.int32), axis=1)
-    rstar = jnp.zeros((h, FOLD), jnp.int32)
-    for r in range(SROWS):
-        rstar = rstar + (rm[r:r + 1, :] <= p).astype(jnp.int32)
-    rstar = jnp.minimum(rstar, SROWS - 1)
-    masks = [rstar == r for r in range(1, SROWS)]
     rows = [jnp.broadcast_to(cw[r:r + 1, :], (h, FOLD))
             for r in range(SROWS)]
     rlow = jnp.zeros((h, FOLD), jnp.int32)
@@ -155,11 +151,11 @@ def _rank_two_phase(cw, p):
             v = jnp.where(masks[r - 1],
                           jnp.take_along_axis(rows[r], gi, axis=1), v)
         rlow = jnp.where(v <= p, rlow + k, rlow)
-    return rstar, rlow, masks
+    return rlow
 
 
 def _select_rows(xw_r, masks, rlow):
-    """Apply lookup at (rstar, rlow) via the same masks: xw_r
+    """Apply lookup at (boundary row, rlow) via the same masks: xw_r
     [SROWS, FOLD] one state dimension's window fold -> [h, FOLD]."""
     h = rlow.shape[0]
     v = jnp.take_along_axis(
@@ -193,40 +189,102 @@ def _take_kernel(srows_ref, a_ref, x_ref, y_ref, xwin, sems,
             y_ref[ri, 0, qr:qr + 1, :] = _lookup(xw[ri], rel)
 
 
-def _search_kernel(srows_ref, pos_ref, cdf_ref, x_ref, y_ref, anc_ref,
-                   cwin, xwin, sems, *, nb, qrows, d, n):
+def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
+                   y_ref, anc_ref, cwin, xwin, found, sems,
+                   *, nb, qrows, d, n):
+    """Merge-path window walk: block b resolves its sorted queries over
+    ``wcnt[b]`` consecutive 2048-element windows starting at row
+    ``srows[b]``; ``woff[b]`` (cumulative window count) keeps the
+    double-buffer slot parity consistent across the dynamic per-block
+    loop AND across grid blocks (the last window of block b prefetches
+    block b+1's first window)."""
     b = pl.program_id(0)
+    nrows = n // FOLD
 
-    def start(slot, i):
-        sr = srows_ref[i]
+    def rows0(blk, w):
+        # Clamp so the 16-row window stays in bounds; repeated clamped
+        # windows near the array end re-resolve nothing (found-mask).
+        return jnp.minimum(srows_ref[blk] + w * SROWS, nrows - SROWS)
+
+    def start(slot, blk, w):
+        r0 = rows0(blk, w)
         pltpu.make_async_copy(
-            cdf_ref.at[pl.ds(sr, SROWS), :],
+            cdf_ref.at[pl.ds(r0, SROWS), :],
             cwin.at[slot], sems.at[0, slot]).start()
         pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(sr, SROWS), :],
+            x_ref.at[:, pl.ds(r0, SROWS), :],
             xwin.at[slot], sems.at[1, slot]).start()
 
-    def wait(slot, i):
-        sr = srows_ref[i]
+    def wait(slot, blk, w):
+        r0 = rows0(blk, w)
         pltpu.make_async_copy(
-            cdf_ref.at[pl.ds(sr, SROWS), :],
+            cdf_ref.at[pl.ds(r0, SROWS), :],
             cwin.at[slot], sems.at[0, slot]).wait()
         pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(sr, SROWS), :],
+            x_ref.at[:, pl.ds(r0, SROWS), :],
             xwin.at[slot], sems.at[1, slot]).wait()
 
-    slot = _double_buffer(b, nb, start, wait)
-    s_elem = srows_ref[b] * FOLD
-    cw = cwin[slot]
-    xw = xwin[slot]
-    for g in range(0, qrows, 8):
-        h = min(8, qrows - g)
-        p = pos_ref[0, g:g + h, :]
-        rstar, rlow, masks = _rank_two_phase(cw, p)
-        anc = jnp.minimum(s_elem + rstar * FOLD + rlow, n - 1)
-        anc_ref[0, g:g + h, :] = anc
-        for ri in range(d):
-            y_ref[ri, 0, g:g + h, :] = _select_rows(xw[ri], masks, rlow)
+    w_n = wcnt_ref[b]
+    base = woff_ref[b]
+    two = jnp.int32(2)
+
+    @pl.when(b == 0)
+    def _():
+        start(0, 0, 0)
+
+    found[...] = jnp.zeros((qrows, FOLD), jnp.int32)
+
+    def body(w, _):
+        slot = lax.rem(base + w, two)
+        nxt = lax.rem(base + w + 1, two)
+        last = w + 1 >= w_n
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            start(nxt, b, w + 1)
+
+        @pl.when(last & (b + 1 < nb))
+        def _():
+            start(nxt, b + 1, 0)
+
+        wait(slot, b, w)
+        r0 = rows0(b, w)
+        cw = cwin[slot]
+        # Row maxima broadcast across lanes (one const-index gather).
+        rm = jnp.take_along_axis(
+            cw, jnp.full((SROWS, FOLD), FOLD - 1, jnp.int32), axis=1)
+        for g in range(0, qrows, 8):
+            h = min(8, qrows - g)
+            p = pos_ref[0, g:g + h, :]
+            # Phase A: c = #{window rows fully <= p}. c == SROWS means
+            # the boundary row is in a later window — except on the
+            # last window, where the query's rank is past the cdf end
+            # and clips to the final element (rank semantics: the
+            # caller clips anc to n-1 anyway).
+            c = jnp.zeros((h, FOLD), jnp.int32)
+            for r in range(SROWS):
+                c = c + (rm[r:r + 1, :] <= p).astype(jnp.int32)
+            active = (found[g:g + h, :] == 0) & ((c < SROWS) | last)
+
+            @pl.when(jnp.any(active))
+            def _(p=p, c=c, active=active, g=g, h=h, slot=slot, r0=r0,
+                  cw=cw):
+                c_eff = jnp.minimum(c, SROWS - 1)
+                masks = [(c_eff == r) & active for r in range(1, SROWS)]
+                rlow = _phase_b(cw, masks, p)
+                anc = jnp.minimum((r0 + c_eff) * FOLD + rlow, n - 1)
+                anc_ref[0, g:g + h, :] = jnp.where(
+                    active, anc, anc_ref[0, g:g + h, :])
+                for ri in range(d):
+                    v = _select_rows(xwin[slot, ri], masks, rlow)
+                    y_ref[ri, 0, g:g + h, :] = jnp.where(
+                        active, v, y_ref[ri, 0, g:g + h, :])
+                found[g:g + h, :] = jnp.where(
+                    active, 1, found[g:g + h, :])
+
+        return 0
+
+    lax.fori_loop(0, w_n, body, 0)
 
 
 def _merge_rank_ancestors(cdf: jnp.ndarray, positions: jnp.ndarray
@@ -344,14 +402,16 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
 
     nb = n // tile
     qrows = tile // FOLD
+    nrows = n // FOLD
     # Coarse block placement from the 128-STRIDED cdf: r128 = #{k:
     # cdf[(k+1)*128-1] <= q} is exactly the fold row of rank(q) (rows
-    # before r128 are fully <= q, row r128's last element is > q), so
-    # window starts and a conservative span bound need only [n/128]-vs-
-    # (nb+1) sorted ranks (block b's max rank < 128 * (r128[b+1] + 1);
-    # the final query uses the last position exactly). Both sides are
-    # sorted, so rank-by-merge (two tiny argsorts, ~0.02 ms) beats
-    # searchsorted's gather rounds (~0.12 ms) — benchmarks/probe_cumsum.
+    # before r128 are fully <= q, row r128's last element is > q).
+    # Window starts and per-block window counts need only [n/128]-vs-
+    # (nb+1) sorted ranks (block b's queries resolve in rows
+    # [r128[b], r128[b+1]]; the final query uses the last position
+    # exactly). Both sides are sorted, so rank-by-merge (two tiny
+    # argsorts, ~0.02 ms) beats searchsorted's gather rounds
+    # (~0.12 ms) — benchmarks/probe_cumsum.
     if cdf128 is None:
         cdf128 = cdf[FOLD - 1::FOLD]
     m = cdf128.shape[0]
@@ -359,55 +419,50 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
     merged = jnp.concatenate([cdf128, q.astype(cdf128.dtype)])
     rank = jnp.argsort(jnp.argsort(merged))
     r128 = (rank[m:] - jnp.arange(nb + 1)).astype(jnp.int32)
-    srows = jnp.clip(r128[:-1], 0, n // FOLD - SROWS)
-    ok = jnp.all(jnp.minimum(r128[1:], n // FOLD - 1) - srows < SROWS)
+    srows = jnp.minimum(r128[:-1], nrows - SROWS)
+    span = jnp.maximum(jnp.minimum(r128[1:], nrows - 1) - srows, 0)
+    wcnt = span // SROWS + 1
+    woff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(wcnt)[:-1].astype(jnp.int32)])
 
-    def pallas_branch(args):
-        cdf_, pos_, X_, srows_ = args
-        cf = cdf_.reshape(n // FOLD, FOLD)
-        pf = pos_.reshape(nb, qrows, FOLD)
-        xf = X_.reshape(d, n // FOLD, FOLD)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec((d, 1, qrows, FOLD),
-                             lambda b, *_: (0, b, 0, 0)),
-                pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, SROWS, FOLD), cdf_.dtype),
-                pltpu.VMEM((2, d, SROWS, FOLD), X_.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+    cf = cdf.reshape(nrows, FOLD)
+    pf = positions.reshape(nb, qrows, FOLD)
+    xf = X.reshape(d, nrows, FOLD)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((d, 1, qrows, FOLD),
+                         lambda b, *_: (0, b, 0, 0)),
+            pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, SROWS, FOLD), cdf.dtype),
+            pltpu.VMEM((2, d, SROWS, FOLD), X.dtype),
+            pltpu.VMEM((qrows, FOLD), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    def build_and_call():
+        call = pl.pallas_call(
+            functools.partial(_search_kernel, nb=nb, qrows=qrows, d=d,
+                              n=n),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((d, nb, qrows, FOLD), X.dtype),
+                jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.int32),
             ],
         )
+        y, a = call(srows, wcnt, woff, pf, cf, xf)
+        return y.reshape(d, n), a.reshape(n)
 
-        def build_and_call():
-            call = pl.pallas_call(
-                functools.partial(_search_kernel, nb=nb, qrows=qrows, d=d,
-                                  n=n),
-                grid_spec=grid_spec,
-                out_shape=[
-                    jax.ShapeDtypeStruct((d, nb, qrows, FOLD), X_.dtype),
-                    jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.int32),
-                ],
-            )
-            y, a = call(srows_, pf, cf, xf)
-            return y.reshape(d, n), a.reshape(n)
-
-        if interpret:
-            with pltpu.force_tpu_interpret_mode():
-                return build_and_call()
-        return build_and_call()
-
-    def xla_branch(args):
-        cdf_, pos_, X_, _ = args
-        a = _merge_rank_ancestors(cdf_, pos_)
-        return jnp.take(X_, a, axis=1), a
-
-    return lax.cond(ok, pallas_branch, xla_branch, (cdf, positions, X, srows))
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return build_and_call()
+    return build_and_call()

@@ -317,18 +317,15 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
             n_det = jnp.minimum(ccum[-1], n).astype(jnp.int32)
             rcdf, r128 = blocked_cumsum(jnp.maximum(nw - counts, 0.0))
             slots = jnp.arange(n, dtype=wdt)
-            # Positions must stay INSIDE the cdf range: slots past the
-            # det/residual boundary would rank to N, making the boundary
-            # block's span blow past the kernel window and forcing the
-            # XLA fallback every step. Clamped tail slots land on the
-            # last active entry; their outputs are masked off below.
-            # tile=512 for the integer-grid det call: its spans are
-            # ~1024 * N/n_det (zero-count runs collapse onto one value),
-            # which overflows the 2048 window at tile=1024 when fewer
-            # than half the slots are deterministic.
+            # Positions are clamped INSIDE the cdf range: slots past the
+            # det/residual boundary would rank to N, and the straddling
+            # output block would walk windows to the array end (the
+            # merge-path kernel absorbs any span, but ~N/2048 wasted
+            # window loads per step are avoidable). Clamped tail slots
+            # land on the last active entry; their outputs are masked
+            # off below.
             p_det = jnp.minimum(slots + 0.5, n_det.astype(wdt) - 0.5)
-            x_det, a_det = inverse_cdf_apply(ccum, p_det, X,
-                                             cdf128=c128, tile=512)
+            x_det, a_det = inverse_cdf_apply(ccum, p_det, X, cdf128=c128)
             v = jnp.minimum(_residual_positions(key, n, n_det, wdt),
                             1.0 - 1e-6) * rcdf[-1]
             x_res, a_res = inverse_cdf_apply(rcdf, v, X, cdf128=r128)

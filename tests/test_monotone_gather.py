@@ -65,13 +65,35 @@ def test_inverse_cdf_apply_matches_merge_rank(key, name):
     np.testing.assert_array_equal(y, jnp.take(X, a_ref, axis=1))
 
 
-def test_inverse_cdf_apply_concentrated_weights_fallback(key):
+def test_inverse_cdf_apply_concentrated_weights(key):
     # One particle carries ~all the mass at index 0: ranks jump from 0 to
-    # ~N inside one block -> span overflow -> runtime lax.cond fallback.
+    # ~N inside one block. The merge-path kernel walks extra windows for
+    # that block (no fallback) and must still match merge-rank exactly
+    # (the small-N cumsum here is monotone, so there are no f32 wiggle
+    # ties to diverge on).
     logw = jnp.full((N,), -20.0).at[0].set(0.0)
     cdf = jnp.cumsum(jax.nn.softmax(logw))
     positions = POSITION_FNS["systematic"](key, N, jnp.float32)
     X = jax.random.normal(key, (D, N), jnp.float32)
+
+    y, a = inverse_cdf_apply(cdf, positions, X, tile=TILE, interpret=True)
+    a_ref = _merge_rank_ancestors(cdf, positions)
+    np.testing.assert_array_equal(a, a_ref)
+    np.testing.assert_array_equal(y, jnp.take(X, a_ref, axis=1))
+
+
+def test_inverse_cdf_apply_long_zero_runs(key):
+    # Floor-count cdf (the residual resampler's deterministic pass):
+    # most entries are zero-weight, so cdf plateaus span many window
+    # rows — the case that overflowed the old fixed-window kernel at
+    # realistic N (796 rows vs 16, benchmarks/probe_residual.py). Every
+    # block walks as many windows as its span needs.
+    kw, kp, kx = jax.random.split(key, 3)
+    w = jnp.floor(N * jax.nn.softmax(
+        3.0 * jax.random.normal(kw, (N,), jnp.float32)))
+    cdf = jnp.cumsum(w)
+    positions = POSITION_FNS["systematic"](kp, N, jnp.float32) * cdf[-1]
+    X = jax.random.normal(kx, (D, N), jnp.float32)
 
     y, a = inverse_cdf_apply(cdf, positions, X, tile=TILE, interpret=True)
     a_ref = _merge_rank_ancestors(cdf, positions)

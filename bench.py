@@ -53,9 +53,11 @@ def main():
 
     engine = os.environ.get("BENCH_ENGINE", "auto")
     resampler = os.environ.get("BENCH_RESAMPLER", "metropolis")
+    ptile = os.environ.get("BENCH_PALLAS_TILE")  # None -> auto by d
+    ptile = int(ptile) if ptile else None
     fn = jax.jit(lambda k: bootstrap_filter(
         k, model, ys, num_particles, resampler=resampler,
-        return_history=False, engine=engine))
+        return_history=False, engine=engine, pallas_tile=ptile))
 
     # Warmup/compile.
     out = fn(key)

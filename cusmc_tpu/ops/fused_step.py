@@ -25,9 +25,22 @@ loglik + ancestors once. All randomness (acceptance uniforms, proposal
 offsets, Box-Muller process noise, fixed-round Marsaglia-Tsang gamma for
 the MVT scale mixture) comes from the core PRNG — zero HBM.
 
-Supports d <= 8 (matrices unrolled from SMEM scalars); larger d uses the
-XLA packed path (cusmc_tpu/smc/particle_filter.py) which is MXU-bound
-anyway. Validated against the XLA path in tests/test_fused_step.py.
+Round-3 rewrite (the round-2 version lost 3.4x to the XLA packed path):
+- window DMAs are double-buffered ACROSS grid steps (tile i prefetches
+  tile i+1's window while computing) — the round-2 kernel serialized a
+  start/wait pair per tile, stalling every grid step on HBM latency;
+- Metropolis accepts run in EXP space (the window's log-weights are
+  exponentiated once after the DMA): ``u * w_cur < w_cand`` replaces
+  ``log u < lw_cand - lw_cur``, deleting a transcendental per particle
+  per sweep — the same trick as the XLA fast path
+  (``particle_filter._fast_metropolis_step_factory``);
+- the propagate/reweight matvecs are in-kernel MXU matmuls on
+  VMEM-resident matrices at EVERY d (measured faster than SMEM-scalar
+  unrolled VPU FMAs even at d=2, matching the XLA-path finding in
+  ops/packed.py) — the analog of the reference's arbitrary-d tiled
+  kernels (``mvn_dist.cu.cpp:33-101``, TILE_SIZE=16).
+
+Validated against the XLA path in tests/test_fused_step.py.
 """
 
 from __future__ import annotations
@@ -41,40 +54,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 2048
-MAX_UNROLL_DIM = 8
+MAX_MXU_DIM = 128   # d,k cap (VMEM window budget at the auto tile)
 _MT_ROUNDS = 4  # Marsaglia-Tsang proposal rounds (see ops/random.py)
 
 
-def _uniform_from_bits(shape, dtype=jnp.float32):
-    """U(0,1) from hardware PRNG bits; strictly positive for safe log().
+def _to_uniform(bits, dtype=jnp.float32):
+    """U(0,1) from raw PRNG bits; strictly positive for safe log().
 
     Bits arrive as int32 and Mosaic lacks a uint32->f32 cast, so keep the
     low 23 bits (always non-negative as int32) for the mantissa.
+
+    Bits are drawn in BULK (one ``pltpu.prng_random_bits`` call per
+    logical group, sliced into rows): the round-2 kernel issued ~30 small
+    prng calls per tile and the per-call overhead dominated the step
+    (measured 432 M vs this layout's bulk draws; see the kernel body).
     """
-    bits = pltpu.prng_random_bits(shape)
     u = (bits & 0x007FFFFF).astype(dtype) * (1.0 / (1 << 23))
     return jnp.maximum(u, 1e-12)
 
 
-def _normals_from_bits(shape, dtype=jnp.float32):
-    """Box-Muller normals from two uniform draws."""
-    u1 = _uniform_from_bits(shape, dtype)
-    u2 = _uniform_from_bits(shape, dtype)
+def _to_normals(b1, b2, dtype=jnp.float32):
+    """Box-Muller normals from two bit rows."""
+    u1 = _to_uniform(b1, dtype)
+    u2 = _to_uniform(b2, dtype)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(2.0 * math.pi * u2)
 
 
-def _mt_gamma(alpha, shape, dtype=jnp.float32):
-    """Fixed-round Marsaglia-Tsang Gamma(alpha) for (traced) alpha >= 1,
-    from hardware PRNG — ops/random.py's sampler, in-kernel."""
+def _mt_gamma(alpha, bits, dtype=jnp.float32):
+    """Fixed-round Marsaglia-Tsang Gamma(alpha) for (traced) alpha >= 1.
+    ``bits`` [3 * _MT_ROUNDS, T] raw PRNG bits (3 rows per round: the
+    Box-Muller pair + the acceptance uniform) — ops/random.py's sampler,
+    in-kernel."""
+    t = bits.shape[1]
     d = alpha - 1.0 / 3.0
     c = 1.0 / jnp.sqrt(9.0 * d)
-    accepted = jnp.zeros(shape, jnp.bool_)
-    out = jnp.broadcast_to(alpha.astype(dtype), shape)
-    for _ in range(_MT_ROUNDS):
-        x = _normals_from_bits(shape, dtype)
+    accepted = jnp.zeros((1, t), jnp.bool_)
+    out = jnp.broadcast_to(alpha.astype(dtype), (1, t))
+    for i in range(_MT_ROUNDS):
+        x = _to_normals(bits[3 * i:3 * i + 1], bits[3 * i + 1:3 * i + 2],
+                        dtype)
         v = (1.0 + c * x) ** 3
-        u = _uniform_from_bits(shape, dtype)
+        u = _to_uniform(bits[3 * i + 2:3 * i + 3], dtype)
         ok = (v > 0.0) & (jnp.log(u) < 0.5 * x * x + d - d * v
                           + d * jnp.log(jnp.where(v > 0.0, v, 1.0)))
         take = ok & ~accepted
@@ -83,11 +104,17 @@ def _mt_gamma(alpha, shape, dtype=jnp.float32):
     return out
 
 
-def _matvec_smem(A_ref, X, m: int, d: int):
-    """[m, d] (SMEM scalars) @ [d, T] -> [m, T], fully unrolled VPU FMAs."""
-    return jnp.stack([
-        sum(A_ref[j, kk] * X[kk] for kk in range(d)) for j in range(m)
-    ])
+def auto_tile(n: int, dk: int) -> int:
+    """Largest power-of-two tile that divides n, sized so the double-
+    buffered [2, d, 2*tile] window + live temporaries fit VMEM: measured
+    optimum ~tile * d = 128K lanes (d=2 -> 16384 ... d=64 -> 2048).
+    d=128 at 1024 sits ~7% over the 16M scoped-VMEM limit depending on
+    compiler mood, so it drops to 512."""
+    cap = 512 if dk >= 128 else 131072 // max(dk, 8)
+    t = 512
+    while t * 2 <= min(cap, 16384) and n % (t * 2) == 0:
+        t *= 2
+    return t
 
 
 def _step_kernel(
@@ -95,71 +122,112 @@ def _step_kernel(
     s_ref,        # [1] int32: global window offset for this step
     seed_ref,     # [2] int32: PRNG seed material (step-dependent)
     # tensor/scalar inputs
-    xw_ref,       # [d, N + 2*tile] extended particles (ANY/HBM)
-    lw_ref,       # [1, N + 2*tile] extended log-weights (ANY/HBM)
-    y_ref,        # [k] observation (SMEM)
-    G_ref,        # [d, d] (SMEM)
-    Q_ref,        # [d, d] transition cov sqrt (SMEM)
-    F_ref,        # [k, d] (SMEM)
-    Li_ref,       # [k, k] inverse obs Cholesky (SMEM)
+    xw_ref,       # [d, N] particles (ANY/HBM)
+    lw_ref,       # [1, N] log-weights (ANY/HBM)
+    y_ref,        # [k, 1] observation (VMEM)
+    G_ref,        # [d, d] (VMEM)
+    Q_ref,        # [d, d] transition cov sqrt (VMEM)
+    F_ref,        # [k, d] (VMEM)
+    Li_ref,       # [k, k] inverse obs Cholesky (VMEM)
     mp_ref,       # [2] float32: (df, obs log-norm) (SMEM)
     # outputs
     xo_ref,       # [d, tile]
     ll_ref,       # [1, tile]
     a_ref,        # [1, tile] int32 global ancestor indices
     # scratch
-    xwin_ref,     # [d, 2*tile] VMEM candidate window
-    lwin_ref,     # [1, 2*tile] VMEM
-    sem,          # DMA semaphores (2,)
+    xwin_ref,     # [2, d, 2*tile] VMEM candidate windows (double-buffered)
+    wwin_ref,     # [2, 1, 2*tile] VMEM exp-space weights
+    sem,          # DMA semaphores (2, 2, 2): (kind, half, slot)
     *,
     n: int, tile: int, d: int, k: int, num_sweeps: int, noise: str,
+    df_int,
 ):
     i = pl.program_id(0)
+    nb = n // tile
     # Mix the tile id multiplicatively (golden-ratio hash, wrapped to
     # int32): adjacent raw seeds can yield correlated streams, which would
     # correlate resampling across tiles and inflate estimator variance.
     golden = jnp.int32(-1640531527)  # 0x9E3779B9 as int32
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (i * golden))
 
-    # Window start: 128-aligned (s is pre-quantized by the caller; DMA and
-    # VMEM slicing require lane-multiple offsets). Fine offsets come from
-    # dynamic lane rotations below.
-    ws = jax.lax.rem(jnp.int32(i * tile) + s_ref[0], jnp.int32(n))
-    ws = pl.multiple_of(ws, 128)
+    # Window = two TILE-ALIGNED source tiles (i + s, i + s + 1) mod nb —
+    # contiguous mod n, so no extended/concatenated input array (the
+    # round-2 kernel re-materialized an [d, N + 2*tile] concat per step).
+    # The step's coarse offset s is in tile units; within-window coverage
+    # comes from the 128-aligned per-sweep slice offsets plus the fine
+    # lane rotation below, so all global offsets remain reachable.
+    def half_of(j, h):
+        w = jax.lax.rem(jnp.int32(j) + s_ref[0] + h, jnp.int32(nb)) * tile
+        return pl.multiple_of(w, 128)
 
-    cp_x = pltpu.make_async_copy(
-        xw_ref.at[:, pl.ds(ws, 2 * tile)], xwin_ref, sem.at[0])
-    cp_w = pltpu.make_async_copy(
-        lw_ref.at[:, pl.ds(ws, 2 * tile)], lwin_ref, sem.at[1])
-    cp_x.start()
-    cp_w.start()
-    cp_w.wait()
-    cp_x.wait()
+    def _copies(slot, j):
+        for h in (0, 1):
+            w = half_of(j, h)
+            yield pltpu.make_async_copy(
+                xw_ref.at[:, pl.ds(w, tile)],
+                xwin_ref.at[slot, :, pl.ds(h * tile, tile)],
+                sem.at[0, h, slot])
+            yield pltpu.make_async_copy(
+                lw_ref.at[:, pl.ds(w, tile)],
+                wwin_ref.at[slot, :, pl.ds(h * tile, tile)],
+                sem.at[1, h, slot])
+
+    def start(slot, j):
+        for cp in _copies(slot, j):
+            cp.start()
+
+    def wait(slot, j):
+        for cp in _copies(slot, j):
+            cp.wait()
+
+    # Double-buffered across grid steps: prefetch tile i+1's window
+    # while computing tile i (the round-2 kernel's serialized start/wait
+    # per tile was its main deficit vs XLA).
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = jax.lax.rem(i + 1, jnp.int32(2))
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < nb)
+    def _():
+        start(nxt, i + 1)
+
+    wait(slot, i)
+    ws = half_of(i, 0)
 
     # One fine lane rotation r in [0, 128) per step de-aligns the lane
     # classes (after it, per-sweep slices can be 128-aligned — Mosaic
     # requires aligned vector loads — without restricting ancestry to
-    # fixed lane residues across steps).
+    # fixed lane residues across steps). The weight window is
+    # exponentiated in the same pass: accepts below run in exp space
+    # (weights arrive max-normalized from log_normalize, so exp is safe).
     r = pltpu.prng_random_bits((1, 1))[0, 0] & 127
-    lwin_ref[:, :] = pltpu.roll(lwin_ref[:, :], -r, 1)
-    xwin_ref[:, :] = pltpu.roll(xwin_ref[:, :], -r, 1)
+    wwin_ref[slot] = jnp.exp(pltpu.roll(wwin_ref[slot], -r, 1))
+    xwin_ref[slot] = pltpu.roll(xwin_ref[slot], -r, 1)
 
     # Independence-MH chains over the window. Init: window offset 0.
-    lw_cur = lwin_ref[:, :tile]
-    x_cur = xwin_ref[:, :tile]
+    # All per-sweep randomness comes from two bulk draws: one
+    # [num_sweeps, tile] block of acceptance bits and one [1, 128] row of
+    # proposal-offset bits (scalar-extracted per sweep).
+    w_cur = wwin_ref[slot, :, :tile]
+    x_cur = xwin_ref[slot, :, :tile]
     a_off = jnp.zeros((1, tile), jnp.int32)
     n_off = tile // 128 + 1  # candidate slice offsets: 128 * [0, tile/128]
+    ubits = pltpu.prng_random_bits((num_sweeps, tile))
+    dbits = pltpu.prng_random_bits((1, 128))
 
-    for _ in range(num_sweeps):
-        db_bits = pltpu.prng_random_bits((1, 1))
-        db = 128 * jax.lax.rem(db_bits[0, 0].astype(jnp.int32) & 0x7FFFFFFF,
+    for sw in range(num_sweeps):
+        db = 128 * jax.lax.rem(dbits[0, sw].astype(jnp.int32) & 0x7FFFFFFF,
                                jnp.int32(n_off))
         db = pl.multiple_of(db, 128)
-        lw_cand = lwin_ref[:, pl.ds(db, tile)]
-        log_u = jnp.log(_uniform_from_bits((1, tile)))
-        acc = log_u < (lw_cand - lw_cur)
-        lw_cur = jnp.where(acc, lw_cand, lw_cur)
-        x_cur = jnp.where(acc, xwin_ref[:, pl.ds(db, tile)], x_cur)
+        w_cand = wwin_ref[slot, :, pl.ds(db, tile)]
+        u = _to_uniform(ubits[sw:sw + 1, :])
+        # u * w_cur < w_cand  <=>  log u < lw_cand - lw_cur (w > 0).
+        acc = u * w_cur < w_cand
+        w_cur = jnp.where(acc, w_cand, w_cur)
+        x_cur = jnp.where(acc, xwin_ref[slot, :, pl.ds(db, tile)], x_cur)
         a_off = jnp.where(acc, jnp.full((1, tile), db, jnp.int32), a_off)
 
     # Global ancestor: rotated window pos q maps to window pos
@@ -170,23 +238,59 @@ def _step_kernel(
     pos = jnp.where(pos >= 2 * tile, pos - 2 * tile, pos)
     a_ref[:, :] = jax.lax.rem(ws + pos, jnp.int32(n))
 
+    # In-kernel MXU matmuls (beat unrolled FMAs at every d). Precision
+    # mirrors the XLA packed path (ops/packed.matvec, default-precision
+    # jnp.matmul): XLA lowers tiny-d f32 matvecs exactly, so small d uses
+    # HIGHEST (multi-pass f32-exact, cost nil — without it the zero-noise
+    # parity check in validate_fused_tpu drifts ~1e-3); at larger d XLA
+    # itself runs single-pass bf16 MXU, and HIGHEST's 3-6 extra passes
+    # cost ~25% of the d>=32 step, so DEFAULT matches both the XLA
+    # path's accuracy and the perf design point.
+    prec = (jax.lax.Precision.HIGHEST if max(d, k) <= 8
+            else jax.lax.Precision.DEFAULT)
+
+    def matvec(A_ref, Xv):
+        return jax.lax.dot_general(
+            A_ref[...], Xv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
     # Propagate: mean = G @ x_anc; noise = Q @ z (MVT: scaled by the
-    # chi-square mixture sqrt(df/g), one g per particle).
-    mean = _matvec_smem(G_ref, x_cur, d, d)
-    z = _normals_from_bits((d, tile))
-    qz = _matvec_smem(Q_ref, z, d, d)
+    # chi-square mixture sqrt(df/g), one g per particle). Bulk bit draws
+    # again: one [2d, tile] call for the Box-Muller pairs, one
+    # [3 * rounds, tile] call for the gamma sampler.
+    mean = matvec(G_ref, x_cur)
+    zbits = pltpu.prng_random_bits((2 * d, tile))
+    z = _to_normals(zbits[:d], zbits[d:])
+    qz = matvec(Q_ref, z)
     df = mp_ref[0]
     if noise == "mvt":
-        g = 2.0 * _mt_gamma(0.5 * df, (1, tile))
+        if df_int is not None:
+            # EXACT chi-square for integer df: chi2_{2m+r} =
+            # -2 log(prod_{i<m} U_i) + r * z^2 — ONE log instead of
+            # Marsaglia-Tsang's 8 transcendental passes; the same trick
+            # as the XLA path (ops/random.chi2_integer_df), where the
+            # gamma draw was ~70% of the whole MVT filter step.
+            m, odd = divmod(df_int, 2)
+            cbits = pltpu.prng_random_bits((m + 2 * odd, tile))
+            prod = _to_uniform(cbits[0:1])
+            for j in range(1, m):
+                prod = prod * _to_uniform(cbits[j:j + 1])
+            g = -2.0 * jnp.log(jnp.maximum(prod, 1e-38))
+            if odd:
+                zc = _to_normals(cbits[m:m + 1], cbits[m + 1:m + 2])
+                g = g + zc * zc
+        else:
+            gbits = pltpu.prng_random_bits((3 * _MT_ROUNDS, tile))
+            g = 2.0 * _mt_gamma(0.5 * df, gbits)
         qz = qz * jnp.sqrt(df / g)
     x_new = mean + qz
     xo_ref[:, :] = x_new
 
     # Reweight: resid = y - F @ x_new; quad = |Li resid|^2.
-    fx = _matvec_smem(F_ref, x_new, k, d)
-    resid = jnp.stack([y_ref[j] - fx[j] for j in range(k)])
-    zz = _matvec_smem(Li_ref, resid, k, k)
-    quad = sum(zz[j] * zz[j] for j in range(k))[None, :]
+    fx = matvec(F_ref, x_new)
+    resid = y_ref[...] - fx
+    zz = matvec(Li_ref, resid)
+    quad = jnp.sum(zz * zz, axis=0, keepdims=True)
     log_norm = mp_ref[1]
     if noise == "mvt":
         ll_ref[:, :] = log_norm - 0.5 * (df + k) * jnp.log1p(quad / df)
@@ -196,14 +300,17 @@ def _step_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("noise", "num_sweeps", "tile", "interpret"))
+    static_argnames=("noise", "num_sweeps", "tile", "interpret", "df_int"))
 def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
                       *, noise: str = "mvn", num_sweeps: int = 10,
-                      tile: int = DEFAULT_TILE, interpret: bool = False):
+                      tile: int = DEFAULT_TILE, interpret: bool = False,
+                      df_int: int = None):
     """One fused filter step on packed particles.
 
     X [d, N] (N divisible by ``tile``), logw [N]; returns
-    (X_new [d, N], loglik [N], ancestors [N] int32).
+    (X_new [d, N], loglik [N], ancestors [N] int32). ``df_int`` (static)
+    selects the exact one-log integer-df chi-square for the MVT mixture;
+    None falls back to the fixed-round Marsaglia-Tsang gamma.
     """
     d, n = X.shape
     k = F.shape[0]
@@ -213,35 +320,39 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
         # ws = i*tile + s must be lane-aligned; pl.multiple_of is an
         # UNCHECKED promise to Mosaic, so enforce it here.
         raise ValueError(f"tile={tile} must be a multiple of 128")
-    if max(d, k) > MAX_UNROLL_DIM:
-        raise ValueError(f"fused step supports d,k <= {MAX_UNROLL_DIM}")
+    if max(d, k) > MAX_MXU_DIM:
+        raise ValueError(f"fused step supports d,k <= {MAX_MXU_DIM}")
 
     dtype = X.dtype
     G, Q, F, Li = (jnp.asarray(a, dtype) for a in (G, Q, F, Li))
-    y_t = jnp.asarray(y_t, dtype)
+    y_t = jnp.asarray(y_t, dtype).reshape(k, 1)
     logw = jnp.asarray(logw, dtype)
 
     k_s, k_seed = jax.random.split(key)
-    # 128-aligned global window offset (fine offsets via in-kernel rolls).
-    s = 128 * jax.random.randint(k_s, (1,), 0, n // 128, jnp.int32)
+    # Coarse window offset in TILE units (the kernel's two window halves
+    # are tile-aligned source slices; see _step_kernel). Finer placement
+    # comes from the in-kernel 128-aligned sweep offsets + lane rolls.
+    s = jax.random.randint(k_s, (1,), 0, n // tile, jnp.int32)
     seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
 
-    x_ext = jnp.concatenate([X, X[:, :2 * tile]], axis=1)
-    lw_ext = jnp.concatenate([logw, logw[:2 * tile]])[None, :]
+    lw2 = logw[None, :]
     mp = jnp.stack([jnp.asarray(df if df is not None else 1.0, X.dtype),
                     jnp.asarray(log_norm, X.dtype)])
+
+    # Matrices are VMEM-resident, feeding the in-kernel MXU matmuls.
+    mat_spec = pl.BlockSpec(memory_space=None)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # x_ext
-            pl.BlockSpec(memory_space=pl.ANY),   # lw_ext
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # y
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # G
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # Q
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # F
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # Li
+            pl.BlockSpec(memory_space=pl.ANY),   # X
+            pl.BlockSpec(memory_space=pl.ANY),   # logw
+            mat_spec,                            # y [k, 1]
+            mat_spec,                            # G
+            mat_spec,                            # Q
+            mat_spec,                            # F
+            mat_spec,                            # Li
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (df, log_norm)
         ],
         out_specs=[
@@ -250,14 +361,14 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
             pl.BlockSpec((1, tile), lambda i, *_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, 2 * tile), jnp.float32),
-            pltpu.VMEM((1, 2 * tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, d, 2 * tile), jnp.float32),
+            pltpu.VMEM((2, 1, 2 * tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
     )
     kernel = functools.partial(
         _step_kernel, n=n, tile=tile, d=d, k=k,
-        num_sweeps=num_sweeps, noise=noise)
+        num_sweeps=num_sweeps, noise=noise, df_int=df_int)
 
     def build_and_call():
         call = pl.pallas_call(
@@ -269,7 +380,7 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
                 jax.ShapeDtypeStruct((1, n), jnp.int32),
             ],
         )
-        return call(s, seed, x_ext, lw_ext, y_t, G, Q, F, Li, mp)
+        return call(s, seed, X, lw2, y_t, G, Q, F, Li, mp)
 
     # interpret=True emulates the TPU primitives (prng, DMA, rolls) on any
     # backend via force_tpu_interpret_mode — the flag is read when

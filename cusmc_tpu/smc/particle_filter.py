@@ -39,7 +39,7 @@ from jax import lax
 
 from cusmc_tpu.diagnostics.metrics import effective_sample_size, log_normalize
 from cusmc_tpu.models.dlm import DLM
-from cusmc_tpu.ops.fused_step import MAX_UNROLL_DIM, fused_filter_step
+from cusmc_tpu.ops.fused_step import MAX_MXU_DIM, fused_filter_step
 from cusmc_tpu.resampling import get_resampler
 from cusmc_tpu.resampling.rolls import roll_metropolis_resample_op
 
@@ -385,7 +385,8 @@ def _pallas_step_factory(model: DLM, num_particles: int, tile: int,
         x_new, ll, a = fused_filter_step(
             key_t, x, logw, y_t, model.G, model.W_sqrt, model.F,
             model.V_chol_inv, df, log_norm, noise=model.noise,
-            num_sweeps=num_sweeps, tile=tile, interpret=interpret)
+            num_sweeps=num_sweeps, tile=tile, interpret=interpret,
+            df_int=model.df_int)
         # Always-resample semantics: pre-weights uniform 1/N.
         logw_new, lse = log_normalize(ll)
         lz_inc = lse - math.log(num_particles)
@@ -398,7 +399,7 @@ def _pallas_step_factory(model: DLM, num_particles: int, tile: int,
 
 def _pallas_eligible(model, n: int, tile: int) -> bool:
     if not (isinstance(model, DLM)
-            and max(model.state_dim, model.obs_dim) <= MAX_UNROLL_DIM
+            and max(model.state_dim, model.obs_dim) <= MAX_MXU_DIM
             and n % tile == 0 and n >= 2 * tile and tile % 128 == 0
             and not model.per_dim_chi
             # fused_filter_step emits f32 state / uses f32 VMEM scratch; a
@@ -431,7 +432,7 @@ def bootstrap_filter(
     return_history: bool = True,
     layout: str = "auto",
     engine: str = "auto",
-    pallas_tile: int = 2048,
+    pallas_tile: Optional[int] = None,
     pallas_interpret: bool = False,
     axis_name: Optional[str] = None,
     num_particles_global: Optional[int] = None,
@@ -474,13 +475,28 @@ def bootstrap_filter(
                          "layout='batch'")
     packed = layout == "packed"
 
-    # Default engine is the XLA packed path: measured FASTER than the fused
-    # Pallas kernel for this op mix on v5e (618M vs 430M particle-steps/s,
-    # MVT N=1M — XLA's fusion + pipelining beats our manual kernel's
-    # serialized window DMAs). engine="pallas" selects the single-kernel
-    # path (ops/fused_step.py) explicitly.
+    # Engine choice (measured on v5e, f32, N=1M, T=200, B=10 —
+    # benchmarks/RESULTS.md): the XLA packed path wins at small d (d=2
+    # 1.44B vs 880M; d=16 857M vs 643M) where its fused select-chain
+    # traffic is cheap; the fused Pallas kernel (ops/fused_step.py) wins
+    # at d >= 32 (d=32 395M vs 317M, d=64 230M vs 168M, d=128 122M vs
+    # 87M) where reading X once per step beats XLA's (B+1)-way select
+    # over [d, N]. "auto" picks by that crossover when the config is
+    # kernel-eligible; "xla"/"pallas" force a path.
+    if pallas_tile is None:
+        from cusmc_tpu.ops.fused_step import auto_tile
+
+        dk = (max(model.state_dim, model.obs_dim)
+              if isinstance(model, DLM) else 1)
+        pallas_tile = auto_tile(num_particles, dk)
     if engine == "auto":
-        engine = "xla"
+        pallas_ok = (packed and resampler == "metropolis"
+                     and ess_threshold is None and axis_name is None
+                     and resample_op is None and not debug_checks
+                     and jax.default_backend() == "tpu"
+                     and _pallas_eligible(model, num_particles, pallas_tile)
+                     and max(model.state_dim, model.obs_dim) >= 32)
+        engine = "pallas" if pallas_ok else "xla"
     if engine == "pallas":
         if not (packed and resampler == "metropolis"
                 and ess_threshold is None and axis_name is None):
@@ -489,7 +505,7 @@ def bootstrap_filter(
                              "and a single shard")
         if not _pallas_eligible(model, num_particles, pallas_tile):
             raise ValueError(
-                f"pallas engine needs a DLM with d,k <= {MAX_UNROLL_DIM}, "
+                f"pallas engine needs a DLM with d,k <= {MAX_MXU_DIM}, "
                 f"N a multiple of tile={pallas_tile} (and >= 2 tiles), tile "
                 f"a multiple of 128, standard MVT with concrete df >= 2, "
                 f"and a float32 state (no state_dtype=bfloat16)")

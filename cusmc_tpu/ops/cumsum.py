@@ -32,30 +32,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FOLD = 128
-BROWS = 32                  # fold rows per grid block
-BLOCK = FOLD * BROWS        # 4096 elements per grid step
+# Fold rows per grid block. The grid is SEQUENTIAL on the running-total
+# carry, so per-step latency (~0.6 us) times the step count is the real
+# cost: 32 rows (4096-element blocks) measured 0.17 ms at N=1M — 17x the
+# ~10 us of traffic — while 256 rows (32K blocks, 32 steps) is ~0.05 ms.
+# The largest candidate that divides N wins; ineligible N falls back to
+# jnp.cumsum in the caller.
+BROWS_CANDIDATES = (256, 64, 32)
+BLOCK_MIN = FOLD * BROWS_CANDIDATES[-1]
 
 
-def _cumsum_kernel(w_ref, cdf_ref, s128_ref, carry):
+def _cumsum_kernel(w_ref, cdf_ref, s128_ref, carry, *, brows):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
         carry[...] = jnp.zeros((1, FOLD), w_ref.dtype)
 
-    x = w_ref[...]                          # [BROWS, FOLD]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BROWS, FOLD), 1)
+    x = w_ref[...]                          # [brows, FOLD]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (brows, FOLD), 1)
     k = 1
     while k < FOLD:
         x = x + jnp.where(lane >= k, jnp.roll(x, k, axis=1), 0.0)
         k *= 2
     # Row totals broadcast across lanes (one const-index gather).
     rt = jnp.take_along_axis(
-        x, jnp.full((BROWS, FOLD), FOLD - 1, jnp.int32), axis=1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (BROWS, FOLD), 0)
+        x, jnp.full((brows, FOLD), FOLD - 1, jnp.int32), axis=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (brows, FOLD), 0)
     s = rt                                   # inclusive prefix of row totals
     k = 1
-    while k < BROWS:
+    while k < brows:
         s = s + jnp.where(row >= k, jnp.roll(s, k, axis=0), 0.0)
         k *= 2
     c = carry[...]                           # [1, FOLD], all lanes equal
@@ -65,7 +71,7 @@ def _cumsum_kernel(w_ref, cdf_ref, s128_ref, carry):
     out = (x - rt) + (s + c)
     cdf_ref[...] = out
     s128_ref[...] = out[:, FOLD - 1:FOLD]    # row-end cdf values, exact
-    carry[...] = s[BROWS - 1:BROWS, :] + c
+    carry[...] = s[brows - 1:brows, :] + c
 
 
 def blocked_cumsum(w: jnp.ndarray, *, interpret: bool = False
@@ -78,7 +84,9 @@ def blocked_cumsum(w: jnp.ndarray, *, interpret: bool = False
     rounding, and the output is monotone by construction.
     """
     (n,) = w.shape
-    eligible = (n % BLOCK == 0
+    brows = next((r for r in BROWS_CANDIDATES if n % (FOLD * r) == 0),
+                 None)
+    eligible = (brows is not None
                 and w.dtype == jnp.float32
                 and (interpret or jax.default_backend() == "tpu"))
     if not eligible:
@@ -87,17 +95,17 @@ def blocked_cumsum(w: jnp.ndarray, *, interpret: bool = False
             return cdf, cdf[FOLD - 1::FOLD]
         return cdf, None
 
-    nb = n // BLOCK
+    nb = n // (FOLD * brows)
     wf = w.reshape(n // FOLD, FOLD)
 
     def build_and_call():
         call = pl.pallas_call(
-            _cumsum_kernel,
+            functools.partial(_cumsum_kernel, brows=brows),
             grid=(nb,),
-            in_specs=[pl.BlockSpec((BROWS, FOLD), lambda b: (b, 0))],
+            in_specs=[pl.BlockSpec((brows, FOLD), lambda b: (b, 0))],
             out_specs=[
-                pl.BlockSpec((BROWS, FOLD), lambda b: (b, 0)),
-                pl.BlockSpec((BROWS, 1), lambda b: (b, 0)),
+                pl.BlockSpec((brows, FOLD), lambda b: (b, 0)),
+                pl.BlockSpec((brows, 1), lambda b: (b, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n // FOLD, FOLD), w.dtype),

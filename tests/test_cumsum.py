@@ -9,10 +9,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cusmc_tpu.ops.cumsum import BLOCK, FOLD, blocked_cumsum
+from cusmc_tpu.ops.cumsum import BROWS_CANDIDATES, FOLD, blocked_cumsum
 
 
-@pytest.mark.parametrize("n", [BLOCK, 3 * BLOCK])
+# One size per block-row candidate (each exercises a different
+# in-block prefix depth), plus a multi-block case at the smallest.
+@pytest.mark.parametrize("n", sorted(
+    {FOLD * r for r in BROWS_CANDIDATES}
+    | {3 * FOLD * max(BROWS_CANDIDATES)}))
 def test_blocked_cumsum_matches_jnp(key, n):
     w = jax.random.uniform(key, (n,), jnp.float32)
     cdf, cdf128 = blocked_cumsum(w, interpret=True)
@@ -28,7 +32,7 @@ def test_blocked_cumsum_matches_jnp(key, n):
 def test_blocked_cumsum_fallback_shapes():
     # Ineligible length -> jnp.cumsum fallback; strided slice only when
     # divisible by FOLD.
-    w = jnp.ones((FOLD * 3,), jnp.float32)
+    w = jnp.ones((FOLD * 3,), jnp.float32)  # 3 rows: no candidate divides
     cdf, cdf128 = blocked_cumsum(w)
     np.testing.assert_allclose(np.asarray(cdf), np.arange(1, FOLD * 3 + 1),
                                rtol=1e-6)

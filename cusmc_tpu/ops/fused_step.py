@@ -104,15 +104,20 @@ def _mt_gamma(alpha, bits, dtype=jnp.float32):
     return out
 
 
-def auto_tile(n: int, dk: int) -> int:
+def auto_tile(n: int, dk: int, state_itemsize: int = 4) -> int:
     """Largest power-of-two tile that divides n, sized so the double-
     buffered [2, d, 2*tile] window + live temporaries fit VMEM: measured
     optimum ~tile * d = 128K lanes (d=2 -> 16384 ... d=64 -> 2048).
-    d=128 at 1024 sits ~7% over the 16M scoped-VMEM limit depending on
-    compiler mood, so it drops to 512."""
-    cap = 512 if dk >= 128 else 131072 // max(dk, 8)
+    f32 d=128 at 1024 sits ~7% over the 16M scoped-VMEM limit depending
+    on compiler mood, so it drops to 512; the bf16 window is half the
+    bytes and measured +9% at 1024 vs 512."""
+    if dk >= 128:
+        cap = 512 * (4 // state_itemsize)
+    else:
+        cap = 131072 // max(dk, 8)
     t = 512
-    while t * 2 <= min(cap, 16384) and n % (t * 2) == 0:
+    # n // 2: the kernel needs >= 2 tiles (its window spans two).
+    while t * 2 <= min(cap, 16384, n // 2) and n % (t * 2) == 0:
         t *= 2
     return t
 
@@ -205,7 +210,16 @@ def _step_kernel(
     # (weights arrive max-normalized from log_normalize, so exp is safe).
     r = pltpu.prng_random_bits((1, 1))[0, 0] & 127
     wwin_ref[slot] = jnp.exp(pltpu.roll(wwin_ref[slot], -r, 1))
-    xwin_ref[slot] = pltpu.roll(xwin_ref[slot], -r, 1)
+    xw = xwin_ref[slot]
+    if xw.dtype == jnp.bfloat16:
+        # tpu.dynamic_rotate lacks 16-bit support; the int32 view packs
+        # SUBLANE pairs (lanes preserved 1:1 — verified on-chip,
+        # benchmarks/probe_bf16_roll rationale in fused_filter_step), so
+        # an int32 lane roll rotates bf16 lanes exactly. Needs even d.
+        xi = pltpu.roll(pltpu.bitcast(xw, jnp.int32), -r, 1)
+        xwin_ref[slot] = pltpu.bitcast(xi, jnp.bfloat16)
+    else:
+        xwin_ref[slot] = pltpu.roll(xw, -r, 1)
 
     # Independence-MH chains over the window. Init: window offset 0.
     # All per-sweep randomness comes from two bulk draws: one
@@ -245,19 +259,25 @@ def _step_kernel(
     # parity check in validate_fused_tpu drifts ~1e-3); at larger d XLA
     # itself runs single-pass bf16 MXU, and HIGHEST's 3-6 extra passes
     # cost ~25% of the d>=32 step, so DEFAULT matches both the XLA
-    # path's accuracy and the perf design point.
-    prec = (jax.lax.Precision.HIGHEST if max(d, k) <= 8
+    # path's accuracy and the perf design point. bf16 state (mixed
+    # precision) always runs the MXU's native bf16xbf16->f32 mode.
+    sdt = xwin_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST
+            if max(d, k) <= 8 and sdt == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
     def matvec(A_ref, Xv):
         return jax.lax.dot_general(
-            A_ref[...], Xv, (((1,), (0,)), ((), ())),
+            A_ref[...], Xv.astype(A_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
     # Propagate: mean = G @ x_anc; noise = Q @ z (MVT: scaled by the
     # chi-square mixture sqrt(df/g), one g per particle). Bulk bit draws
     # again: one [2d, tile] call for the Box-Muller pairs, one
-    # [3 * rounds, tile] call for the gamma sampler.
+    # [3 * rounds, tile] call for the gamma sampler. Under mixed
+    # precision the state/matrix operands are bf16 (accumulating f32,
+    # like the XLA path); the noise, mixture scale, and likelihood stay
+    # f32.
     mean = matvec(G_ref, x_cur)
     zbits = pltpu.prng_random_bits((2 * d, tile))
     z = _to_normals(zbits[:d], zbits[d:])
@@ -283,10 +303,12 @@ def _step_kernel(
             gbits = pltpu.prng_random_bits((3 * _MT_ROUNDS, tile))
             g = 2.0 * _mt_gamma(0.5 * df, gbits)
         qz = qz * jnp.sqrt(df / g)
-    x_new = mean + qz
+    x_new = (mean + qz).astype(sdt)
     xo_ref[:, :] = x_new
 
-    # Reweight: resid = y - F @ x_new; quad = |Li resid|^2.
+    # Reweight: resid = y - F @ x_new; quad = |Li resid|^2. Computed
+    # from the STORED (possibly bf16) state for parity with the XLA
+    # path, which reweights the bf16 carry.
     fx = matvec(F_ref, x_new)
     resid = y_ref[...] - fx
     zz = matvec(Li_ref, resid)
@@ -322,11 +344,18 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
         raise ValueError(f"tile={tile} must be a multiple of 128")
     if max(d, k) > MAX_MXU_DIM:
         raise ValueError(f"fused step supports d,k <= {MAX_MXU_DIM}")
+    if X.dtype == jnp.bfloat16 and d % 2:
+        # The bf16 window rotation runs on the int32 sublane-pair view.
+        raise ValueError("bfloat16 state needs even d")
 
-    dtype = X.dtype
-    G, Q, F, Li = (jnp.asarray(a, dtype) for a in (G, Q, F, Li))
-    y_t = jnp.asarray(y_t, dtype).reshape(k, 1)
-    logw = jnp.asarray(logw, dtype)
+    # Mixed precision: the state window, transition/observation factors
+    # and their MXU operands follow X.dtype (f32 or bf16); the weight
+    # path (log-weights, V factors, observation, likelihood) stays f32.
+    sdt = X.dtype
+    G, Q, F = (jnp.asarray(a, sdt) for a in (G, Q, F))
+    Li = jnp.asarray(Li, jnp.float32)
+    y_t = jnp.asarray(y_t, jnp.float32).reshape(k, 1)
+    logw = jnp.asarray(logw, jnp.float32)
 
     k_s, k_seed = jax.random.split(key)
     # Coarse window offset in TILE units (the kernel's two window halves
@@ -336,8 +365,9 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
     seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
 
     lw2 = logw[None, :]
-    mp = jnp.stack([jnp.asarray(df if df is not None else 1.0, X.dtype),
-                    jnp.asarray(log_norm, X.dtype)])
+    mp = jnp.stack([jnp.asarray(df if df is not None else 1.0,
+                                jnp.float32),
+                    jnp.asarray(log_norm, jnp.float32)])
 
     # Matrices are VMEM-resident, feeding the in-kernel MXU matmuls.
     mat_spec = pl.BlockSpec(memory_space=None)
@@ -361,7 +391,7 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
             pl.BlockSpec((1, tile), lambda i, *_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, d, 2 * tile), jnp.float32),
+            pltpu.VMEM((2, d, 2 * tile), sdt),
             pltpu.VMEM((2, 1, 2 * tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
@@ -375,7 +405,7 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((d, n), jnp.float32),
+                jax.ShapeDtypeStruct((d, n), sdt),
                 jax.ShapeDtypeStruct((1, n), jnp.float32),
                 jax.ShapeDtypeStruct((1, n), jnp.int32),
             ],

@@ -402,10 +402,13 @@ def _pallas_eligible(model, n: int, tile: int) -> bool:
             and max(model.state_dim, model.obs_dim) <= MAX_MXU_DIM
             and n % tile == 0 and n >= 2 * tile and tile % 128 == 0
             and not model.per_dim_chi
-            # fused_filter_step emits f32 state / uses f32 VMEM scratch; a
-            # bf16 scan carry (state_dtype=bfloat16) would crash with an
-            # opaque carry-dtype mismatch deep in the scan.
-            and model.G.dtype == jnp.float32):
+            # The kernel's state window/output follow the model's state
+            # dtype: f32, or bf16 under mixed precision (the weight path
+            # stays f32 either way; bf16's window rotation runs on the
+            # int32 sublane-pair view, so it needs even d).
+            and (model.G.dtype == jnp.float32
+                 or (model.G.dtype == jnp.bfloat16
+                     and model.state_dim % 2 == 0))):
         return False
     if model.noise == "mvt":
         # The in-kernel Marsaglia-Tsang sampler has no alpha<1 boost:
@@ -479,24 +482,31 @@ def bootstrap_filter(
     # benchmarks/RESULTS.md): the XLA packed path wins at small d (d=2
     # 1.44B vs 880M; d=16 857M vs 643M) where its fused select-chain
     # traffic is cheap; the fused Pallas kernel (ops/fused_step.py) wins
-    # at d >= 32 (d=32 395M vs 317M, d=64 230M vs 168M, d=128 122M vs
-    # 87M) where reading X once per step beats XLA's (B+1)-way select
-    # over [d, N]. "auto" picks by that crossover when the config is
-    # kernel-eligible; "xla"/"pallas" force a path.
+    # at d >= 32 f32 (d=32 396M vs 317M, d=64 230M vs 168M, d=128 115M
+    # vs 87M) and d >= 64 bf16, where reading X once per step beats
+    # XLA's (B+1)-way select over [d, N]. The kernel stays OPT-IN (see
+    # the engine="auto" note below).
     if pallas_tile is None:
         from cusmc_tpu.ops.fused_step import auto_tile
 
         dk = (max(model.state_dim, model.obs_dim)
               if isinstance(model, DLM) else 1)
-        pallas_tile = auto_tile(num_particles, dk)
+        itemsize = (jnp.dtype(model.G.dtype).itemsize
+                    if isinstance(model, DLM) else 4)
+        pallas_tile = auto_tile(num_particles, dk, itemsize)
     if engine == "auto":
-        pallas_ok = (packed and resampler == "metropolis"
-                     and ess_threshold is None and axis_name is None
-                     and resample_op is None and not debug_checks
-                     and jax.default_backend() == "tpu"
-                     and _pallas_eligible(model, num_particles, pallas_tile)
-                     and max(model.state_dim, model.obs_dim) >= 32)
-        engine = "pallas" if pallas_ok else "xla"
+        # The fused kernel is FASTER than the XLA path at d>=32 f32 /
+        # d>=64 bf16 (benchmarks/RESULTS.md d-sweep), but its
+        # windowed-Megopolis proposal mixes over a 2-tile window per
+        # step instead of globally: at equal B its finite-sweep
+        # resampling bias is STRICTLY WORSE than the XLA roll scheme's,
+        # and the gap widens exactly in the sharp-weight regimes that
+        # high-d configs produce (measured d=32 N=262k B=10: logZ
+        # -3455 windowed vs -2616 roll vs -2097 roll B=30). Silently
+        # trading statistical quality for speed is the wrong default,
+        # so "auto" always takes the XLA path; engine="pallas" is the
+        # documented opt-in for throughput-bound workloads.
+        engine = "xla"
     if engine == "pallas":
         if not (packed and resampler == "metropolis"
                 and ess_threshold is None and axis_name is None):
@@ -508,7 +518,7 @@ def bootstrap_filter(
                 f"pallas engine needs a DLM with d,k <= {MAX_MXU_DIM}, "
                 f"N a multiple of tile={pallas_tile} (and >= 2 tiles), tile "
                 f"a multiple of 128, standard MVT with concrete df >= 2, "
-                f"and a float32 state (no state_dtype=bfloat16)")
+                f"and a float32 or bfloat16 state")
 
     # Exp-space fast paths (packed, resample every step, one shard):
     # carry max-normalized exp weights through the scan — metropolis is

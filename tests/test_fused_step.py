@@ -151,9 +151,11 @@ def test_filter_engine_pallas_interpret(key):
     assert np.isfinite(np.asarray(res.ess)).all()
 
 
-def test_engine_pallas_rejects_bfloat16_state(key):
-    # ADVICE r1: fused_filter_step emits f32 state/scratch; a bf16 scan
-    # carry crashed deep in the scan. Must be a clear up-front error.
+def test_engine_pallas_bfloat16_state(key):
+    # Round 3: bf16 mixed precision is supported in-kernel (window,
+    # selects, and MXU operands bf16; weight path f32; the window
+    # rotation runs on the int32 sublane-pair view). Structural check:
+    # the filter runs and the carry dtype round-trips.
     from cusmc_tpu.io.data import demo_model_params
     from cusmc_tpu.models.dlm import DLM
     from cusmc_tpu.smc.particle_filter import bootstrap_filter
@@ -162,7 +164,24 @@ def test_engine_pallas_rejects_bfloat16_state(key):
     model = DLM.create(noise="mvn", dtype=jnp.float32,
                        state_dtype=jnp.bfloat16, **params)
     ys = jnp.zeros((5, 2), jnp.float32)
-    with pytest.raises(ValueError, match="float32 state"):
-        bootstrap_filter(key, model, ys, 2048, engine="pallas",
-                         pallas_tile=256, pallas_interpret=True,
-                         return_history=False)
+    res = bootstrap_filter(key, model, ys, 2048, engine="pallas",
+                           pallas_tile=256, pallas_interpret=True,
+                           return_history=False)
+    assert res.final_particles.dtype == jnp.bfloat16
+    assert np.isfinite(float(res.log_evidence))
+
+
+def test_engine_pallas_rejects_bfloat16_odd_d(key):
+    # The bf16 window rotation needs sublane PAIRS: odd d must be a
+    # clear up-front error, not a Mosaic crash.
+    import numpy as onp
+
+    from cusmc_tpu.models.dlm import DLM
+    from cusmc_tpu.ops.fused_step import fused_filter_step
+
+    d = 3
+    X = jnp.zeros((d, 512), jnp.bfloat16)
+    eye = onp.eye(d, dtype=onp.float32)
+    with pytest.raises(ValueError, match="even d"):
+        fused_filter_step(key, X, jnp.zeros((512,)), jnp.zeros((d,)),
+                          eye, eye, eye, eye, None, 0.0, tile=256)

@@ -37,9 +37,18 @@ def test_take_columns_cpu_fallback(key):
 def test_take_columns_kernel_matches_take(key):
     X = jax.random.normal(key, (D, N), jnp.float32)
     a = _rand_sorted_ancestors(key, N)
-    # Random sorted ancestors have bounded block spans whp at this size;
-    # if a span overflowed, the runtime cond falls back to jnp.take and
-    # the assert still holds — both paths are exercised across seeds.
+    out = take_columns(X, a, tile=TILE, interpret=True)
+    np.testing.assert_array_equal(out, jnp.take(X, a, axis=1))
+
+
+def test_take_columns_huge_spans(key):
+    # Sorted ancestors whose per-block span covers most of the array
+    # (constant runs then a jump — what concentrated weights produce).
+    # The merge-path walk must resolve these in-kernel; the old fixed
+    # window fell back to the random gather here.
+    X = jax.random.normal(key, (D, N), jnp.float32)
+    a = jnp.sort(jnp.where(jnp.arange(N) % 7 == 0, N - 1,
+                           jnp.arange(N) % 3)).astype(jnp.int32)
     out = take_columns(X, a, tile=TILE, interpret=True)
     np.testing.assert_array_equal(out, jnp.take(X, a, axis=1))
 

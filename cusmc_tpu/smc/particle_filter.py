@@ -249,6 +249,90 @@ def _fast_cdf_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
     return step
 
 
+def _residual_resample_packed(key, X, nw):
+    """Residual resampling of packed X [d, n] from PRE-SCALED weights
+    ``nw`` [n] (= n * w / sum(w)): two fused inverse-CDF kernel passes
+    (deterministic-floor integer grid + residual order statistics) and a
+    dynamic roll — replaces the registry path's merge-ranks + random
+    gather (6.2 M particle-steps/s in round 2, benchmarks/RESULTS.md).
+    Law identical to ``resampling.classic.residual_ancestors``. Returns
+    ``(x_anc [d, n], ancestors [n])``."""
+    from cusmc_tpu.ops.cumsum import blocked_cumsum
+    from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply
+    from cusmc_tpu.resampling.classic import _residual_positions
+
+    n = nw.shape[0]
+    wdt = nw.dtype
+    counts = jnp.floor(nw)
+    ccum, c128 = blocked_cumsum(counts)
+    n_det = jnp.minimum(ccum[-1], n).astype(jnp.int32)
+    rcdf, r128 = blocked_cumsum(jnp.maximum(nw - counts, 0.0))
+    slots = jnp.arange(n, dtype=wdt)
+    # Positions are clamped INSIDE the cdf range: slots past the
+    # det/residual boundary would rank to N, and the straddling
+    # output block would walk windows to the array end (the
+    # merge-path kernel absorbs any span, but ~N/2048 wasted
+    # window loads per step are avoidable). Clamped tail slots
+    # land on the last active entry; their outputs are masked
+    # off below.
+    p_det = jnp.minimum(slots + 0.5, n_det.astype(wdt) - 0.5)
+    x_det, a_det = inverse_cdf_apply(ccum, p_det, X, cdf128=c128)
+    v = jnp.minimum(_residual_positions(key, n, n_det, wdt),
+                    1.0 - 1e-6) * rcdf[-1]
+    x_res, a_res = inverse_cdf_apply(rcdf, v, X, cdf128=r128)
+    # Align draw k to slot n_det + k: roll right by n_det. A
+    # traced-shift jnp.roll lowers to a random gather (~8 ms per
+    # [N] array at N=1M on v5e); double-and-slice is two
+    # contiguous DMAs.
+
+    def droll(arr, s):
+        two = jnp.concatenate([arr, arr], axis=-1)
+        return lax.dynamic_slice_in_dim(
+            two, arr.shape[-1] - s, arr.shape[-1], axis=-1)
+
+    a_res = droll(a_res, n_det)
+    x_res = droll(x_res, n_det)
+    mask = slots < n_det
+    a = jnp.where(mask, a_det, a_res)
+    x_anc = jnp.where(mask[None, :], x_det, x_res)
+    return x_anc, a
+
+
+def _fast_residual_step_factory(propagate_fn: Callable,
+                                logpdf_fn: Callable, num_particles: int,
+                                return_history: bool = True):
+    """Exp-space fast path for (packed, residual, always-resample,
+    single shard): like ``_fast_cdf_step_factory``, but residual needs
+    the NORMALIZED scaled weights n*w/sum(w) for its floor decomposition
+    — the normalizer reuses the ESS sum ``s1``, so the softmax pass
+    still disappears."""
+    log_n = math.log(num_particles)
+
+    def step(carry, inp):
+        x, w, key = carry
+        t, y_t = inp
+        key_t = jax.random.fold_in(key, t)
+        k_res, k_prop = jax.random.split(key_t)
+
+        s1 = jnp.sum(w)
+        s2 = jnp.sum(w * w)
+        ess = s1 * s1 / s2
+
+        x_anc, a = _residual_resample_packed(
+            k_res, x, w * (num_particles / s1))
+        x_new = propagate_fn(k_prop, x_anc)
+        ll = logpdf_fn(y_t, x_new)
+        m = jnp.max(ll)
+        w_new = jnp.exp(ll - m)
+        lz_inc = m + jnp.log(jnp.sum(w_new)) - log_n
+
+        carry = (x_new, w_new, key)
+        history = (x_new, ll, a) if return_history else ()
+        return carry, (history, ess, lz_inc)
+
+    return step
+
+
 def local_resample_op(resampler: Callable, num_particles_global: int):
     """Batch-layout resample op from a (key, logw) -> idx resampler."""
     log_n = math.log(num_particles_global)
@@ -299,51 +383,12 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
         return op
 
     if resampler_name == "residual":
-        from cusmc_tpu.ops.cumsum import blocked_cumsum
-        from cusmc_tpu.resampling.classic import _residual_positions
 
         def op(key, X, logw):
-            # Two fused inverse-CDF kernel passes (deterministic-floor
-            # grid + residual order statistics) and a dynamic roll —
-            # replaces the registry path's merge-ranks + random gather
-            # (6.2 M particle-steps/s in round 2, benchmarks/RESULTS.md).
-            # Law identical to resampling.classic.residual_ancestors.
             n = logw.shape[0]
             wdt = jnp.promote_types(logw.dtype, jnp.float32)
-            w = jax.nn.softmax(logw.astype(wdt))
-            nw = n * w
-            counts = jnp.floor(nw)
-            ccum, c128 = blocked_cumsum(counts)
-            n_det = jnp.minimum(ccum[-1], n).astype(jnp.int32)
-            rcdf, r128 = blocked_cumsum(jnp.maximum(nw - counts, 0.0))
-            slots = jnp.arange(n, dtype=wdt)
-            # Positions are clamped INSIDE the cdf range: slots past the
-            # det/residual boundary would rank to N, and the straddling
-            # output block would walk windows to the array end (the
-            # merge-path kernel absorbs any span, but ~N/2048 wasted
-            # window loads per step are avoidable). Clamped tail slots
-            # land on the last active entry; their outputs are masked
-            # off below.
-            p_det = jnp.minimum(slots + 0.5, n_det.astype(wdt) - 0.5)
-            x_det, a_det = inverse_cdf_apply(ccum, p_det, X, cdf128=c128)
-            v = jnp.minimum(_residual_positions(key, n, n_det, wdt),
-                            1.0 - 1e-6) * rcdf[-1]
-            x_res, a_res = inverse_cdf_apply(rcdf, v, X, cdf128=r128)
-            # Align draw k to slot n_det + k: roll right by n_det. A
-            # traced-shift jnp.roll lowers to a random gather (~8 ms per
-            # [N] array at N=1M on v5e); double-and-slice is two
-            # contiguous DMAs.
-
-            def droll(arr, s):
-                two = jnp.concatenate([arr, arr], axis=-1)
-                return lax.dynamic_slice_in_dim(
-                    two, arr.shape[-1] - s, arr.shape[-1], axis=-1)
-
-            a_res = droll(a_res, n_det)
-            x_res = droll(x_res, n_det)
-            mask = slots < n_det
-            a = jnp.where(mask, a_det, a_res)
-            x_anc = jnp.where(mask[None, :], x_det, x_res)
+            nw = n * jax.nn.softmax(logw.astype(wdt))
+            x_anc, a = _residual_resample_packed(key, X, nw)
             return x_anc, jnp.full(logw.shape, -log_n, logw.dtype), a
 
         return op
@@ -532,7 +577,8 @@ def bootstrap_filter(
                    and not debug_checks)
     fast_metropolis = fast_common and resampler == "metropolis"
     fast_cdf = fast_common and resampler in POSITION_FNS
-    fast_exp = fast_metropolis or fast_cdf
+    fast_residual = fast_common and resampler == "residual"
+    fast_exp = fast_metropolis or fast_cdf or fast_residual
 
     if engine != "pallas" and not fast_exp and resample_op is None:
         if packed:
@@ -574,6 +620,9 @@ def bootstrap_filter(
         step = _fast_cdf_step_factory(
             propagate_fn, logpdf_fn, num_particles,
             POSITION_FNS[resampler], return_history)
+    elif fast_residual:
+        step = _fast_residual_step_factory(
+            propagate_fn, logpdf_fn, num_particles, return_history)
     else:
         step = _step_factory(propagate_fn, logpdf_fn, resample_op,
                              ess_threshold, n_global, axis_name,

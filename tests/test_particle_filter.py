@@ -27,8 +27,11 @@ def posterior_mean(result):
     return (w[:, :, None] * np.asarray(result.particles)).sum(axis=1)
 
 
-@pytest.mark.parametrize("resampler", ["systematic", "metropolis"])
+@pytest.mark.parametrize("resampler", ["systematic", "metropolis",
+                                       "residual"])
 def test_matches_kalman_oracle(demo, resampler, key):
+    # "residual" exercises the exp-space fast residual step (packed,
+    # always-resample) end to end against the oracle.
     params, ys = demo
     model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
     n = 4096

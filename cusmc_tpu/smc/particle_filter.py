@@ -355,8 +355,10 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
     global searchsorted, no random lane gather — the three ops that
     capped the CDF resamplers at ~95 M particle-steps/s in round 1
     (benchmarks/RESULTS.md);
-    others (residual, custom) -> registry ancestor fn + ``take_columns``
-    (monotone fast path with a jnp.take fallback for unsorted ancestry).
+    "residual" -> ``_residual_resample_packed`` (two fused inverse-CDF
+    kernel passes over the floor/remainder decomposition);
+    others (custom) -> registry ancestor fn + ``take_columns`` (monotone
+    fast path with a jnp.take fallback for unsorted ancestry).
     """
     from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply, take_columns
     from cusmc_tpu.resampling.classic import POSITION_FNS

@@ -53,6 +53,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cusmc_tpu.ops.random import MAX_INTEGER_DF
+
 DEFAULT_TILE = 2048
 MAX_MXU_DIM = 128   # d,k cap (VMEM window budget at the auto tile)
 _MT_ROUNDS = 4  # Marsaglia-Tsang proposal rounds (see ops/random.py)
@@ -289,13 +291,19 @@ def _step_kernel(
             # -2 log(prod_{i<m} U_i) + r * z^2 — ONE log instead of
             # Marsaglia-Tsang's 8 transcendental passes; the same trick
             # as the XLA path (ops/random.chi2_integer_df), where the
-            # gamma draw was ~70% of the whole MVT filter step.
+            # gamma draw was ~70% of the whole MVT filter step. m == 0
+            # (df_int == 1) skips the product term entirely, like
+            # chi2_integer_df; the Box-Muller rows start AT row m so
+            # they never alias the product rows.
             m, odd = divmod(df_int, 2)
             cbits = pltpu.prng_random_bits((m + 2 * odd, tile))
-            prod = _to_uniform(cbits[0:1])
-            for j in range(1, m):
-                prod = prod * _to_uniform(cbits[j:j + 1])
-            g = -2.0 * jnp.log(jnp.maximum(prod, 1e-38))
+            if m > 0:
+                prod = _to_uniform(cbits[0:1])
+                for j in range(1, m):
+                    prod = prod * _to_uniform(cbits[j:j + 1])
+                g = -2.0 * jnp.log(jnp.maximum(prod, 1e-38))
+            else:
+                g = jnp.zeros((1, tile), jnp.float32)
             if odd:
                 zc = _to_normals(cbits[m:m + 1], cbits[m + 1:m + 2])
                 g = g + zc * zc
@@ -347,6 +355,19 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
     if X.dtype == jnp.bfloat16 and d % 2:
         # The bf16 window rotation runs on the int32 sublane-pair view.
         raise ValueError("bfloat16 state needs even d")
+    if num_sweeps > 128:
+        # The per-sweep proposal offsets come from ONE [1, 128] bulk bit
+        # draw indexed at [0, sw]; more sweeps would index out of bounds
+        # in-kernel (and B > 128 independence-MH sweeps is far past the
+        # mixing point anyway).
+        raise ValueError(f"num_sweeps={num_sweeps} exceeds the kernel's "
+                         f"128-sweep proposal-bit budget")
+    if df_int is not None and not 1 <= df_int <= MAX_INTEGER_DF:
+        # Large df would underflow the f32 uniform product to its clamp,
+        # silently biasing the chi-square (ops/random.chi2_integer_df
+        # enforces the same bound).
+        raise ValueError(f"df_int={df_int} outside [1, {MAX_INTEGER_DF}]; "
+                         f"pass df_int=None for the Marsaglia-Tsang path")
 
     # Mixed precision: the state window, transition/observation factors
     # and their MXU operands follow X.dtype (f32 or bf16); the weight

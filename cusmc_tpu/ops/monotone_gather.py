@@ -61,12 +61,12 @@ the 128-STRIDED cdf (n/128 elements), not the full cdf — measured
 0.79 ms -> ~0.05 ms at N=1M on v5e (benchmarks/probe_cdf_kernel.py).
 
 ``take_columns`` falls back to the XLA gather path (identical
-semantics) when the backend is not TPU, shapes are ineligible, the
-ancestors are not monotone, or — decided at RUNTIME via ``lax.cond``
-— some block's ancestor span exceeds its fixed window.
-``inverse_cdf_apply`` needs no runtime fallback (the window walk
-handles any span); only backend/shape/dtype ineligibility routes to
-the XLA path.
+semantics) when the backend is not TPU or shapes are ineligible, and
+— decided at RUNTIME via ``lax.cond`` — when the ancestors are not
+monotone non-decreasing or out of range. ANY ancestor span runs
+in-kernel (both kernels walk a dynamic number of windows per block).
+``inverse_cdf_apply`` needs no runtime fallback at all; only
+backend/shape/dtype ineligibility routes to the XLA path.
 
 Replaces the role of the reference's host-side ancestor gather + H2D
 round-trip (``/root/reference/src/mvn_dist.cu.cpp:194-205``) for the
@@ -114,22 +114,24 @@ def _lookup(table, w_idx):
 
 def _phase_b(cw, masks, p):
     """In-row bitwise rank: log2(FOLD) rounds WITHIN each query's
-    boundary row. ``cw`` [SROWS, FOLD] window fold, ``masks`` the
-    boundary-row one-hots for rows 1..SROWS-1 (row 0 is the default),
-    ``p`` [h, FOLD] queries. Each round's lookup is a select-chain over
-    the row-broadcast vregs (dynamic_gather accepts per-sublane-varying
-    lane indices; the masks are loop-invariant and hoisted). Returns
-    ``rlow`` [h, FOLD] = #{lane l in boundary row: cw[row, l] <= p}."""
+    boundary row. ``cw`` [srows, FOLD] window fold (row count taken from
+    the shape), ``masks`` the boundary-row one-hots for rows 1..srows-1
+    (row 0 is the default), ``p`` [h, FOLD] queries. Each round's lookup
+    is a select-chain over the row-broadcast vregs (dynamic_gather
+    accepts per-sublane-varying lane indices; the masks are
+    loop-invariant and hoisted). Returns ``rlow`` [h, FOLD] =
+    #{lane l in boundary row: cw[row, l] <= p}."""
     h = p.shape[0]
+    srows = cw.shape[0]
     rows = [jnp.broadcast_to(cw[r:r + 1, :], (h, FOLD))
-            for r in range(SROWS)]
+            for r in range(srows)]
     rlow = jnp.zeros((h, FOLD), jnp.int32)
     k = FOLD
     while k > 1:
         k //= 2
         gi = rlow + (k - 1)
         v = jnp.take_along_axis(rows[0], gi, axis=1)
-        for r in range(1, SROWS):
+        for r in range(1, srows):
             v = jnp.where(masks[r - 1],
                           jnp.take_along_axis(rows[r], gi, axis=1), v)
         rlow = jnp.where(v <= p, rlow + k, rlow)
@@ -138,11 +140,12 @@ def _phase_b(cw, masks, p):
 
 def _select_rows(xw_r, masks, rlow):
     """Apply lookup at (boundary row, rlow) via the same masks: xw_r
-    [SROWS, FOLD] one state dimension's window fold -> [h, FOLD]."""
+    [srows, FOLD] one state dimension's window fold -> [h, FOLD]."""
     h = rlow.shape[0]
+    srows = xw_r.shape[0]
     v = jnp.take_along_axis(
         jnp.broadcast_to(xw_r[0:1, :], (h, FOLD)), rlow, axis=1)
-    for r in range(1, SROWS):
+    for r in range(1, srows):
         v = jnp.where(masks[r - 1], jnp.take_along_axis(
             jnp.broadcast_to(xw_r[r:r + 1, :], (h, FOLD)), rlow, axis=1), v)
     return v

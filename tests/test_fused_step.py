@@ -171,6 +171,42 @@ def test_engine_pallas_bfloat16_state(key):
     assert np.isfinite(float(res.log_evidence))
 
 
+def test_rejects_oversized_num_sweeps(key, xl):
+    # Proposal-offset bits cover 128 sweeps; more must error up front
+    # instead of indexing out of bounds in-kernel.
+    X, logw = xl
+    with pytest.raises(ValueError, match="128-sweep"):
+        run_step_kwargs(key, X, logw, num_sweeps=129)
+
+
+def test_rejects_out_of_range_df_int(key, xl):
+    X, logw = xl
+    with pytest.raises(ValueError, match="df_int"):
+        run_step_kwargs(key, X, logw, noise="mvt", df=64.0, df_int=64)
+
+
+def test_df_int_one_runs(key, xl):
+    # df_int=1 exercises the m == 0 branch (no uniform-product term;
+    # Box-Muller bits from dedicated rows) — structural check that it
+    # lowers and produces finite output.
+    X, logw = xl
+    Xn, ll, a = run_step_kwargs(key, X, logw, noise="mvt", df=1.0,
+                                df_int=1)
+    assert np.isfinite(np.asarray(Xn)).all()
+    assert np.isfinite(np.asarray(ll)).all()
+
+
+def run_step_kwargs(key, X, logw, noise="mvn", df=None, **kw):
+    G = jnp.eye(D) * 0.999
+    Q = jnp.eye(D) * 0.0316
+    F = jnp.eye(D)
+    Li = jnp.eye(D) / 0.0316
+    y = jnp.zeros((D,), jnp.float32)
+    return fused_filter_step(key, X, logw, y, G, Q, F, Li, df,
+                             jnp.float32(0.0), noise=noise, tile=TILE,
+                             interpret=True, **kw)
+
+
 def test_engine_pallas_rejects_bfloat16_odd_d(key):
     # The bf16 window rotation needs sublane PAIRS: odd d must be a
     # clear up-front error, not a Mosaic crash.

@@ -55,9 +55,23 @@ def main():
     resampler = os.environ.get("BENCH_RESAMPLER", "metropolis")
     ptile = os.environ.get("BENCH_PALLAS_TILE")  # None -> auto by d
     ptile = int(ptile) if ptile else None
-    fn = jax.jit(lambda k: bootstrap_filter(
-        k, model, ys, num_particles, resampler=resampler,
-        return_history=False, engine=engine, pallas_tile=ptile))
+    sharded = os.environ.get("BENCH_SHARDED") == "1"
+    if sharded:
+        # Pod-readiness proxy (BASELINE.md weak-scaling row): the SAME
+        # filter through shard_map + the collective resample ops on a
+        # mesh over all available devices (1 on the session chip) —
+        # quantifies what the sharded program structure costs on real
+        # hardware vs the unsharded path.
+        from cusmc_tpu.parallel import make_mesh, sharded_bootstrap_filter
+
+        mesh = make_mesh({"particles": len(jax.devices())})
+        fn = jax.jit(lambda k: sharded_bootstrap_filter(
+            k, model, ys, num_particles, mesh, resampler=resampler,
+            return_history=False))
+    else:
+        fn = jax.jit(lambda k: bootstrap_filter(
+            k, model, ys, num_particles, resampler=resampler,
+            return_history=False, engine=engine, pallas_tile=ptile))
 
     # Warmup/compile.
     out = fn(key)
@@ -92,9 +106,11 @@ def main():
         except Exception:
             pass
 
+    tag = f"sharded[{len(jax.devices())}] " if sharded else ""
     print(json.dumps({
         "metric": f"particle-steps/sec/chip, MVT bootstrap PF "
-                  f"(N={num_particles}, T={num_steps}, d={d}, {resampler})",
+                  f"(N={num_particles}, T={num_steps}, d={d}, "
+                  f"{tag}{resampler})",
         "value": rate,
         "unit": "particle-steps/s",
         "vs_baseline": vs,

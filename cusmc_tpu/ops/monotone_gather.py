@@ -322,6 +322,147 @@ def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
     lax.fori_loop(0, w_n, body, 0)
 
 
+def _search_only_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref,
+                        anc_ref, cwin, found, sems, *, nb, qrows, n):
+    """Ancestors-only merge-path walk: ``_search_kernel`` minus the state
+    windows/apply — the sharded weight pipeline computes ancestors from
+    the all-gathered weights but applies them via the ring exchange's
+    local ``take_columns`` mining (parallel/resampling.py), so the [N]
+    query search must not pay for a state it doesn't have."""
+    b = pl.program_id(0)
+    nrows = n // FOLD
+
+    def rows0(blk, w):
+        return jnp.minimum(srows_ref[blk] + w * SROWS, nrows - SROWS)
+
+    def start(slot, blk, w):
+        pltpu.make_async_copy(
+            cdf_ref.at[pl.ds(rows0(blk, w), SROWS), :],
+            cwin.at[slot], sems.at[slot]).start()
+
+    def wait(slot, blk, w):
+        pltpu.make_async_copy(
+            cdf_ref.at[pl.ds(rows0(blk, w), SROWS), :],
+            cwin.at[slot], sems.at[slot]).wait()
+
+    w_n = wcnt_ref[b]
+    base = woff_ref[b]
+    two = jnp.int32(2)
+
+    @pl.when(b == 0)
+    def _():
+        start(0, 0, 0)
+
+    found[...] = jnp.zeros((qrows, FOLD), jnp.int32)
+
+    def body(w, _):
+        slot = lax.rem(base + w, two)
+        nxt = lax.rem(base + w + 1, two)
+        last = w + 1 >= w_n
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            start(nxt, b, w + 1)
+
+        @pl.when(last & (b + 1 < nb))
+        def _():
+            start(nxt, b + 1, 0)
+
+        wait(slot, b, w)
+        r0 = rows0(b, w)
+        cw = cwin[slot]
+        rm = jnp.take_along_axis(
+            cw, jnp.full((SROWS, FOLD), FOLD - 1, jnp.int32), axis=1)
+        for g in range(0, qrows, 8):
+            h = min(8, qrows - g)
+            p = pos_ref[0, g:g + h, :]
+            c = jnp.zeros((h, FOLD), jnp.int32)
+            for r in range(SROWS):
+                c = c + (rm[r:r + 1, :] <= p).astype(jnp.int32)
+            active = (found[g:g + h, :] == 0) & ((c < SROWS) | last)
+
+            @pl.when(jnp.any(active))
+            def _(p=p, c=c, active=active, g=g, h=h, r0=r0, cw=cw):
+                c_eff = jnp.minimum(c, SROWS - 1)
+                masks = [(c_eff == r) & active for r in range(1, SROWS)]
+                rlow = _phase_b(cw, masks, p)
+                anc = jnp.minimum((r0 + c_eff) * FOLD + rlow, n - 1)
+                anc_ref[0, g:g + h, :] = jnp.where(
+                    active, anc, anc_ref[0, g:g + h, :])
+                found[g:g + h, :] = jnp.where(
+                    active, 1, found[g:g + h, :])
+
+        return 0
+
+    lax.fori_loop(0, w_n, body, 0)
+
+
+def inverse_cdf_search(cdf: jnp.ndarray, positions: jnp.ndarray, *,
+                       cdf128: jnp.ndarray = None, tile: int = SEARCH_TILE,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Ancestors a[i] = #{j: cdf[j] <= positions[i]} (clipped to N-1) for
+    SORTED positions [L] over the inclusive cumsum ``cdf`` [N] — the
+    in-kernel half of ``inverse_cdf_apply`` without a state to gather.
+    L need not equal N (the sharded path searches n_local queries over
+    the gathered global cdf). Falls back to the XLA merge-rank off-TPU
+    or for ineligible shapes."""
+    n = cdf.shape[0]
+    nq = positions.shape[0]
+    eligible = (nq % tile == 0 and tile % FOLD == 0
+                and tile <= SWINDOW // 2 and n >= SWINDOW
+                and n % FOLD == 0 and cdf.dtype == jnp.float32
+                and (interpret or jax.default_backend() == "tpu"))
+    if not eligible:
+        return _merge_rank_ancestors(cdf, positions)
+
+    nb = nq // tile
+    qrows = tile // FOLD
+    nrows = n // FOLD
+    if cdf128 is None:
+        cdf128 = cdf[FOLD - 1::FOLD]
+    m = cdf128.shape[0]
+    q = jnp.concatenate([positions[::tile], positions[-1:]])
+    merged = jnp.concatenate([cdf128, q.astype(cdf128.dtype)])
+    rank = jnp.argsort(jnp.argsort(merged))
+    r128 = (rank[m:] - jnp.arange(nb + 1)).astype(jnp.int32)
+    srows = jnp.minimum(r128[:-1], nrows - SROWS)
+    span = jnp.maximum(jnp.minimum(r128[1:], nrows - 1) - srows, 0)
+    wcnt = span // SROWS + 1
+    woff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(wcnt)[:-1].astype(jnp.int32)])
+
+    cf = cdf.reshape(nrows, FOLD)
+    pf = positions.reshape(nb, qrows, FOLD)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, SROWS, FOLD), cdf.dtype),
+            pltpu.VMEM((qrows, FOLD), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def build_and_call():
+        call = pl.pallas_call(
+            functools.partial(_search_only_kernel, nb=nb, qrows=qrows,
+                              n=n),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.int32),
+        )
+        return call(srows, wcnt, woff, pf, cf).reshape(nq)
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return build_and_call()
+    return build_and_call()
+
+
 def _merge_rank_ancestors(cdf: jnp.ndarray, positions: jnp.ndarray
                           ) -> jnp.ndarray:
     """XLA fallback: rank-by-merge inverse CDF (two argsorts; see

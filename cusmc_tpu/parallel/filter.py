@@ -60,20 +60,27 @@ def sharded_bootstrap_filter(
 
     # Metropolis: gather-free global-proposal exchange (packed layout; see
     # roll_metropolis_sharded_op for the exchange="windowed" low-traffic
-    # variant). CDF resamplers: the O(n_local*d)-memory ring exchange when
-    # the model supports the packed layout, else the allgather fallback
-    # (batch layout, O(N*d) memory).
+    # variant). CDF/residual resamplers: the O(n_local*d)-memory ring
+    # exchange when the model supports the packed layout, else the
+    # allgather fallback (batch layout, O(N*d) memory). Packed ops are
+    # built exp-space (weights="exp"): the local filter then carries
+    # max-normalized exp weights (psum-fused ESS/normalizer sums, no
+    # per-step softmax) — the single-chip fast-path pipeline, sharded.
     if resampler == "metropolis":
         layout = "packed"
+        op_weights = "exp"
         resample_op = roll_metropolis_sharded_op(
-            axis, num_particles, n_local, **(resampler_kwargs or {}))
+            axis, num_particles, n_local, weights="exp",
+            **(resampler_kwargs or {}))
     elif supports_packed(model):
         layout = "packed"
+        op_weights = "exp"
         resample_op = ring_cdf_resample_op(
-            resampler, axis, num_particles, n_local,
+            resampler, axis, num_particles, n_local, weights="exp",
             **(resampler_kwargs or {}))
     else:
         layout = "batch"
+        op_weights = "log"
         resample_op = allgather_resample_op(
             resampler, axis, num_particles, n_local,
             **(resampler_kwargs or {}))
@@ -87,6 +94,7 @@ def sharded_bootstrap_filter(
             axis_name=axis,
             num_particles_global=num_particles,
             resample_op=resample_op,
+            resample_op_weights=op_weights,
         )
 
     sharded = P(axis)

@@ -49,48 +49,81 @@ def _global_slots(n_local: int, axis_name: str) -> jnp.ndarray:
     return shard * n_local + jnp.arange(n_local, dtype=jnp.int32)
 
 
-def _gathered_cdf(logw_global: jnp.ndarray) -> jnp.ndarray:
-    cdf = jnp.cumsum(jax.nn.softmax(logw_global))
-    return cdf.at[-1].set(jnp.asarray(1.0, cdf.dtype) + jnp.finfo(cdf.dtype).eps)
+def _to_exp(logw_global: jnp.ndarray) -> jnp.ndarray:
+    """Max-normalized exp weights from gathered log weights (the
+    log-space entry point; the exp-space carry passes w directly)."""
+    return jnp.exp(logw_global - jnp.max(logw_global))
+
+
+def _search_sorted_positions(w_g: jnp.ndarray, positions_01: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """Global ancestors for this shard's SORTED positions in [0, 1):
+    the single-chip weight pipeline applied to the gathered exp weights
+    — ``ops/cumsum.blocked_cumsum`` (one HBM pass, monotone by
+    construction) + the merge-path search kernel
+    (``ops/monotone_gather.inverse_cdf_search``), replacing the round-3
+    ``cumsum(softmax)`` + ``searchsorted`` (~160 ms/1M-queries of binary
+    -search gathers, RESULTS.md per-op table) that made the sharded
+    ancestor computation the per-step serial cost at pod scale."""
+    from cusmc_tpu.ops.cumsum import blocked_cumsum
+    from cusmc_tpu.ops.monotone_gather import inverse_cdf_search
+
+    cdf, cdf128 = blocked_cumsum(w_g)
+    if cdf128 is None:
+        cdf128 = cdf[127::128] if cdf.shape[0] % 128 == 0 else None
+    total = cdf128[-1] if cdf128 is not None else cdf[-1]
+    return inverse_cdf_search(cdf, positions_01.astype(cdf.dtype) * total,
+                              cdf128=cdf128)
 
 
 def make_sharded_ancestor_fn(name: str, axis_name: str, n_global: int,
-                             n_local: int, num_steps: int = 10) -> Callable:
-    """Build ``(key, logw_global) -> global ancestors [n_local]`` for this
-    shard's slots. ``key`` must be identical on all shards."""
+                             n_local: int, num_steps: int = 10,
+                             weights: str = "log") -> Callable:
+    """Build ``(key, weights_global) -> global ancestors [n_local]`` for
+    this shard's slots. ``key`` must be identical on all shards.
+    ``weights="log"`` takes gathered log weights (generic path);
+    ``weights="exp"`` takes max-normalized exp weights directly (the
+    exp-space fast carry, skipping the per-step exp pass)."""
+    exp_in = weights == "exp"
+
+    def wexp(w_or_logw):
+        return w_or_logw if exp_in else _to_exp(w_or_logw)
 
     if name == "systematic":
-        def fn(key, logw_g):
-            u = jax.random.uniform(key, (), logw_g.dtype)  # shared offset
-            slots = _global_slots(n_local, axis_name).astype(logw_g.dtype)
-            positions = (slots + u) / n_global
-            return jnp.searchsorted(_gathered_cdf(logw_g), positions,
-                                    side="right").astype(jnp.int32)
+        def fn(key, w_g):
+            u = jax.random.uniform(key, (), jnp.float32)  # shared offset
+            slots = _global_slots(n_local, axis_name).astype(jnp.float32)
+            return _search_sorted_positions(wexp(w_g),
+                                            (slots + u) / n_global)
     elif name == "stratified":
-        def fn(key, logw_g):
+        def fn(key, w_g):
             k = jax.random.fold_in(key, lax.axis_index(axis_name))
-            u = jax.random.uniform(k, (n_local,), logw_g.dtype)
-            slots = _global_slots(n_local, axis_name).astype(logw_g.dtype)
-            positions = (slots + u) / n_global
-            return jnp.searchsorted(_gathered_cdf(logw_g), positions,
-                                    side="right").astype(jnp.int32)
+            u = jax.random.uniform(k, (n_local,), jnp.float32)
+            slots = _global_slots(n_local, axis_name).astype(jnp.float32)
+            return _search_sorted_positions(wexp(w_g),
+                                            (slots + u) / n_global)
     elif name == "multinomial":
-        def fn(key, logw_g):
+        def fn(key, w_g):
             k = jax.random.fold_in(key, lax.axis_index(axis_name))
-            return jax.random.categorical(k, logw_g,
+            if exp_in:
+                # categorical wants logits; the gathered exp weights are
+                # max-normalized so the log is safe (log(0) slots get
+                # -inf, never drawn).
+                w_g = jnp.log(w_g)
+            return jax.random.categorical(k, w_g,
                                           shape=(n_local,)).astype(jnp.int32)
     elif name == "metropolis":
-        def fn(key, logw_g):
+        def fn(key, w_g):
             k_shard = jax.random.fold_in(key, lax.axis_index(axis_name))
             init = _global_slots(n_local, axis_name)
+            wv = wexp(w_g)
 
             def sweep(b, kcur):
                 kb = jax.random.fold_in(k_shard, b)
                 kj, ku = jax.random.split(kb)
                 j = jax.random.randint(kj, (n_local,), 0, n_global, jnp.int32)
-                log_u = jnp.log(jax.random.uniform(ku, (n_local,),
-                                                   logw_g.dtype))
-                accept = log_u < (logw_g[j] - logw_g[kcur])
+                u = jax.random.uniform(ku, (n_local,), wv.dtype)
+                accept = u * wv[kcur] < wv[j]
                 return jnp.where(accept, j, kcur)
 
             return lax.fori_loop(0, num_steps, sweep, init)
@@ -100,31 +133,94 @@ def make_sharded_ancestor_fn(name: str, axis_name: str, n_global: int,
 
 
 def make_sorted_sharded_ancestor_fn(name: str, axis_name: str,
-                                    n_global: int, n_local: int) -> Callable:
+                                    n_global: int, n_local: int,
+                                    weights: str = "log") -> Callable:
     """Like ``make_sharded_ancestor_fn`` but guaranteed SORTED per shard
     (what the ring exchange's monotone local gathers want). Systematic and
     stratified are sorted by construction; multinomial uses per-shard
     sorted-uniform order statistics (the ancestor multiset stays exactly
-    multinomial — resampling is exchangeable, see resampling/classic.py).
-    """
+    multinomial — resampling is exchangeable, see resampling/classic.py);
+    residual uses the floor-count grid + sorted-uniform remainder
+    (law-identical to ``resampling.classic.residual_ancestors`` up to the
+    exchangeable order of the remainder draws)."""
     if name in ("systematic", "stratified"):
-        return make_sharded_ancestor_fn(name, axis_name, n_global, n_local)
+        return make_sharded_ancestor_fn(name, axis_name, n_global, n_local,
+                                        weights=weights)
+    exp_in = weights == "exp"
     if name == "multinomial":
         from cusmc_tpu.resampling.classic import sorted_uniforms
 
-        def fn(key, logw_g):
+        def fn(key, w_g):
             k = jax.random.fold_in(key, lax.axis_index(axis_name))
-            u = sorted_uniforms(k, n_local, logw_g.dtype)
-            return jnp.searchsorted(_gathered_cdf(logw_g), u,
-                                    side="right").astype(jnp.int32)
+            u = sorted_uniforms(k, n_local, jnp.float32)
+            return _search_sorted_positions(
+                w_g if exp_in else _to_exp(w_g), u)
 
         return fn
+    if name == "residual":
+        return _sorted_sharded_residual_fn(axis_name, n_global, n_local,
+                                           exp_in)
     raise KeyError(f"no sorted sharded variant of resampler {name!r}")
+
+
+def _sorted_sharded_residual_fn(axis_name: str, n_global: int,
+                                n_local: int, exp_in: bool) -> Callable:
+    """Sharded residual ancestors: global output slot s takes the
+    deterministic floor-count grid inverse while s < n_det, else the
+    (s - n_det)-th sorted-uniform remainder draw — law-identical to
+    ``resampling.classic.residual_ancestors``. Each shard computes only
+    its own slots' queries. Both families are sorted, but the stitched
+    vector is sorted only WITHIN each family (a remainder ancestor can
+    precede the last deterministic one), so on the shard holding the
+    n_det boundary the ring exchange's ``take_columns`` may hit its
+    runtime non-monotone fallback for a round — correctness is
+    unaffected (equality with the single-device law is tested)."""
+    from cusmc_tpu.ops.cumsum import blocked_cumsum
+    from cusmc_tpu.ops.monotone_gather import inverse_cdf_search
+    from cusmc_tpu.resampling.classic import _residual_positions
+
+    def fn(key, w_g):
+        w = w_g if exp_in else _to_exp(w_g)
+        wdt = w.dtype
+        s1 = jnp.sum(w)
+        nw = w * (n_global / s1)
+        counts = jnp.floor(nw)
+        ccum, c128 = blocked_cumsum(counts)
+        n_det = jnp.minimum(ccum[-1], n_global).astype(jnp.int32)
+        rcdf, r128 = blocked_cumsum(jnp.maximum(nw - counts, 0.0))
+        slots = _global_slots(n_local, axis_name).astype(wdt)
+        # Deterministic-grid queries for my slots (clamped inside the
+        # active range; outputs past n_det are replaced below).
+        p_det = jnp.minimum(slots + 0.5, n_det.astype(wdt) - 0.5)
+        a_det = inverse_cdf_search(ccum, p_det, cdf128=c128)
+        # Remainder order statistics: common key -> all shards draw the
+        # SAME global [n_global] vector (cheap: one uniform pass) and
+        # slice their slots' entries; draw k belongs to slot n_det + k.
+        v = jnp.minimum(_residual_positions(key, n_global, n_det, wdt),
+                        1.0 - 1e-6) * rcdf[-1]
+        p = lax.axis_index(axis_name)
+        # Slot s uses remainder draw v[s - n_det]; my slots start at
+        # p * n_local, so slice v (doubled, to absorb the negative
+        # wrap when n_det falls inside my range — wrapped entries are
+        # masked off below) at (p * n_local - n_det) mod n_global.
+        start = lax.rem(p * n_local - n_det + n_global,
+                        jnp.int32(n_global))
+        v_mine = lax.dynamic_slice_in_dim(jnp.concatenate([v, v]),
+                                          start, n_local)
+        mask = slots.astype(jnp.int32) < n_det
+        # Deterministic slots are a PREFIX of this shard's slots; zero
+        # their (wrapped-garbage) queries so the search kernel's
+        # sorted-queries invariant holds — their ranks are discarded.
+        v_mine = jnp.where(mask, 0.0, v_mine)
+        a_res = inverse_cdf_search(rcdf, v_mine, cdf128=r128)
+        return jnp.where(mask, jnp.minimum(a_det, n_global - 1), a_res)
+
+    return fn
 
 
 def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
                          n_local: int, with_stats: bool = False,
-                         **kwargs) -> Callable:
+                         weights: str = "log", **kwargs) -> Callable:
     """CDF-family resample op with O(n_local * d) state memory.
 
     Packed [d, L] layout. Weights are all-gathered (O(N) scalars); each
@@ -148,24 +244,32 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
 
     ``with_stats=True`` makes the op return a 4th element: the number of
     rounds actually mined on this shard (for tests/diagnostics).
+
+    ``weights="exp"`` makes the op consume (and return) max-normalized
+    exp weights — the sharded exp-space carry (uniform-after-resample is
+    1.0 instead of -log N); "log" keeps the log-weight interface.
     """
     from cusmc_tpu.ops.monotone_gather import take_columns
 
+    exp_in = weights == "exp"
     ancestor_fn = make_sorted_sharded_ancestor_fn(name, axis_name,
-                                                  n_global, n_local)
+                                                  n_global, n_local,
+                                                  weights=weights)
     num_shards = n_global // n_local
     log_n = math.log(n_global)
     # device s+1 sends to s: after r rounds, device p holds block (p+r)%P.
     perm = [((s + 1) % num_shards, s) for s in range(num_shards)]
 
-    def op(key, X, logw, pred=None):
-        logw_g = lax.all_gather(logw, axis_name, tiled=True)
-        a = ancestor_fn(key, logw_g)
+    def op(key, X, w_or_logw, pred=None):
+        w_g = lax.all_gather(w_or_logw, axis_name, tiled=True)
+        a = ancestor_fn(key, w_g)
         slots = _global_slots(n_local, axis_name)
         if pred is not None:
             a = jnp.where(pred, a, slots)
         p = lax.axis_index(axis_name)
-        a_min, a_max = a[0], a[-1]  # sorted ancestors
+        # Coverage range (residual's stitched vector is sorted only
+        # per family, so use true min/max, not first/last).
+        a_min, a_max = jnp.min(a), jnp.max(a)
 
         out = X
         blk = X
@@ -187,19 +291,23 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
             if r < num_shards - 1:
                 blk = lax.ppermute(blk, axis_name, perm)
 
-        logw_out = jnp.full((n_local,), -log_n, logw.dtype)
+        if exp_in:
+            w_out = jnp.ones((n_local,), w_or_logw.dtype)
+        else:
+            w_out = jnp.full((n_local,), -log_n, w_or_logw.dtype)
         if pred is not None:
-            logw_out = jnp.where(pred, logw_out, logw)
+            w_out = jnp.where(pred, w_out, w_or_logw)
         if with_stats:
-            return out, logw_out, a, mined
-        return out, logw_out, a
+            return out, w_out, a, mined
+        return out, w_out, a
 
     return op
 
 
 def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
                                num_steps: int = 10,
-                               exchange: str = "global") -> Callable:
+                               exchange: str = "global",
+                               weights: str = "log") -> Callable:
     """Gather-free distributed Metropolis resampling in packed [d, L] layout.
 
     ``exchange="global"`` (default): every sweep b draws a fresh GLOBAL
@@ -225,6 +333,7 @@ def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
 
     num_shards = n_global // n_local
     log_n = math.log(n_global)
+    exp_in = weights == "exp"
 
     def from_shift(shift):
         perm = [((s + shift) % num_shards, s) for s in range(num_shards)]
@@ -232,13 +341,13 @@ def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
 
     branches = [from_shift(j) for j in range(num_shards)]
 
-    def op_global(key, X, logw, pred=None):
+    def op_global(key, X, wv, pred=None):
         p = lax.axis_index(axis_name)
-        both = jnp.concatenate([X, logw[None, :]], axis=0)  # [d+1, L]
+        both = jnp.concatenate([X, wv[None, :]], axis=0)  # [d+1, L]
         iota = jnp.arange(n_local, dtype=jnp.int32)
         slots = p * n_local + iota
 
-        x_cur, lw_cur, a_cur = X, logw, slots
+        x_cur, w_cur, a_cur = X, wv, slots
         for b in range(num_steps):
             kb = jax.random.fold_in(key, b)
             kq, ks, ku = jax.random.split(kb, 3)
@@ -248,30 +357,39 @@ def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
             s = jax.random.randint(ks, (), 0, n_local, jnp.int32)
             cand = lax.switch(q, branches, both)        # [d+1, L] shard p+q
             cand = jnp.roll(cand, -s, axis=1)           # slot i <- (i+s)%L
-            log_u = jnp.log(jax.random.uniform(
-                jax.random.fold_in(ku, p), (n_local,), logw.dtype))
-            acc = log_u < (cand[-1] - lw_cur)
+            u = jax.random.uniform(
+                jax.random.fold_in(ku, p), (n_local,), wv.dtype)
+            if exp_in:
+                # u * w_cur < w_cand <=> log u < lw_cand - lw_cur; one
+                # log pass per sweep deleted (same trick as
+                # resampling/rolls.py).
+                acc = u * w_cur < cand[-1]
+            else:
+                acc = jnp.log(u) < (cand[-1] - w_cur)
             if pred is not None:
                 acc = acc & pred
-            lw_cur = jnp.where(acc, cand[-1], lw_cur)
+            w_cur = jnp.where(acc, cand[-1], w_cur)
             x_cur = jnp.where(acc[None, :], cand[:-1], x_cur)
             j_new = (lax.rem(p + q, jnp.int32(num_shards)) * jnp.int32(n_local)
                      + lax.rem(iota + s, jnp.int32(n_local)))
             a_cur = jnp.where(acc, j_new, a_cur)
 
-        logw_out = jnp.full((n_local,), -log_n, logw.dtype)
+        if exp_in:
+            w_out = jnp.ones((n_local,), wv.dtype)
+        else:
+            w_out = jnp.full((n_local,), -log_n, wv.dtype)
         if pred is not None:
-            logw_out = jnp.where(pred, logw_out, logw)
-        return x_cur, logw_out, a_cur
+            w_out = jnp.where(pred, w_out, wv)
+        return x_cur, w_out, a_cur
 
-    def op_windowed(key, X, logw, pred=None):
+    def op_windowed(key, X, wv, pred=None):
         # Common randomness across shards (key is replicated).
         kq, kr, km = jax.random.split(key, 3)
         q = jax.random.randint(kq, (), 0, num_shards, jnp.int32)
         r = jax.random.randint(kr, (), 0, n_local, jnp.int32)
         p = lax.axis_index(axis_name)
 
-        both = jnp.concatenate([X, logw[None, :]], axis=0)  # [d+1, L]
+        both = jnp.concatenate([X, wv[None, :]], axis=0)  # [d+1, L]
         a_part = lax.switch(q, branches, both)
         b_part = lax.switch((q + 1) % num_shards, branches, both)
         window = jnp.concatenate([a_part, b_part], axis=1)   # [d+1, 2L]
@@ -280,24 +398,32 @@ def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
         def sweeps(_):
             rotated = lax.dynamic_slice_in_dim(window, r, n_local, axis=1)
             X_rot = rotated[:-1]
-            lw_rot = rotated[-1]
+            w_rot = rotated[-1]
             k_shard = jax.random.fold_in(km, p)
-            from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps
+            from cusmc_tpu.resampling.rolls import (
+                roll_metropolis_sweeps,
+                roll_metropolis_sweeps_expspace,
+            )
 
-            x_anc, a_loc = roll_metropolis_sweeps(k_shard, X_rot, lw_rot,
-                                                  num_steps)
+            if exp_in:
+                x_anc, a_loc = roll_metropolis_sweeps_expspace(
+                    k_shard, X_rot, w_rot, num_steps)
+            else:
+                x_anc, a_loc = roll_metropolis_sweeps(k_shard, X_rot,
+                                                      w_rot, num_steps)
             # Rotated local slot j holds global particle
             # (p*L + j + q*L + r) % N.
             a_global = lax.rem(
                 (p + q) * jnp.int32(n_local) + a_loc + r,
                 jnp.int32(n_global)).astype(jnp.int32)
-            return (x_anc, jnp.full((n_local,), -log_n, logw.dtype),
+            fill = 1.0 if exp_in else -log_n
+            return (x_anc, jnp.full((n_local,), fill, wv.dtype),
                     a_global)
 
         if pred is None:
             return sweeps(None)
         return lax.cond(pred, sweeps,
-                        lambda _: (X, logw, slots), None)
+                        lambda _: (X, wv, slots), None)
 
     return op_global if exchange == "global" else op_windowed
 

@@ -34,6 +34,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def roll_metropolis_sweeps(key: jax.Array, X: jnp.ndarray, logw: jnp.ndarray,
@@ -116,6 +117,46 @@ def roll_metropolis_sweeps_expspace(key: jax.Array, X: jnp.ndarray,
             winning_ancestors(b_win, shifts))
 
 
+def roll_metropolis_sweeps_expspace_auto(key: jax.Array, X: jnp.ndarray,
+                                         w: jnp.ndarray,
+                                         num_steps: int = 10
+                                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ESS-conditioned sweep truncation (round 4, VERDICT item 6): the
+    independence-MH chains' finite-sweep bias contracts per sweep at
+    roughly (1 - 1/(N * max_i w_norm_i)) — near-uniform weights mix in a
+    sweep or two, so spending the full budget there buys nothing. Bucket
+    the Kish ESS ratio and run B, ceil(B/2), or ceil(B/4) sweeps
+    (``lax.switch`` over three unrolled walks; exactly one executes):
+
+        ess/N <= 0.5        -> B        (sharp weights: full budget)
+        0.5 < ess/N <= 0.75 -> ceil(B/2)
+        ess/N > 0.75        -> ceil(B/4)
+
+    Thresholds validated on-chip (benchmarks/probe_sweeps.py): at
+    ess/N ~ 0.8 the B/4 offspring law and filter logZ match B=10 within
+    Monte-Carlo error; at ess/N ~ 0.3 truncation measurably biases logZ,
+    hence the conservative full budget below 0.5. The reference fixes
+    B = 10 unconditionally (``/root/reference/src/samplers.cpp:7-36``).
+    Opt-in via ``resampler_kwargs={"num_steps": "auto"}``.
+    """
+    n = w.shape[-1]
+    s1 = jnp.sum(w)
+    s2 = jnp.sum(w * w)
+    ratio = s1 * s1 / (s2 * n)
+
+    def branch(b):
+        return lambda _: roll_metropolis_sweeps_expspace(key, X, w, b)
+
+    counts = sorted({num_steps, -(-num_steps // 2), -(-num_steps // 4)},
+                    reverse=True)
+    idx = jnp.int32(0)
+    if len(counts) > 1:
+        idx = ((ratio > 0.5).astype(jnp.int32)
+               + (ratio > 0.75).astype(jnp.int32))
+        idx = jnp.minimum(idx, len(counts) - 1)
+    return lax.switch(idx, [branch(b) for b in counts], None)
+
+
 def roll_metropolis_resample_op(num_steps: int = 10,
                                 num_particles: int = None) -> Callable:
     """Packed-layout ``resample_op`` for ``bootstrap_filter``:
@@ -123,7 +164,11 @@ def roll_metropolis_resample_op(num_steps: int = 10,
 
     def op(key, X, logw):
         n = logw.shape[-1]
-        x_anc, a = roll_metropolis_sweeps(key, X, logw, num_steps)
+        if num_steps == "auto":
+            w = jnp.exp(logw - jnp.max(logw))
+            x_anc, a = roll_metropolis_sweeps_expspace_auto(key, X, w)
+        else:
+            x_anc, a = roll_metropolis_sweeps(key, X, logw, num_steps)
         return x_anc, jnp.full((n,), -math.log(num_particles or n),
                                logw.dtype), a
 

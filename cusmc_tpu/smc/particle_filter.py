@@ -151,50 +151,114 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
     return step
 
 
-def _fast_metropolis_step_factory(propagate_fn: Callable,
-                                  logpdf_fn: Callable, num_particles: int,
-                                  num_sweeps: int,
-                                  return_history: bool = True,
-                                  model=None):
-    """Exp-space fast path for (packed, metropolis, always-resample,
-    single shard) — exactly the reference configuration. The carry holds
-    max-normalized exp weights ``w`` instead of log weights: the ESS and
-    the evidence increment come from two fused sums over ``w``, and the
-    roll resampler consumes ``w`` directly, skipping its exp+max pass.
+def _fast_exp_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
+                           n_global: int, resample_exp: Callable,
+                           ess_threshold: Optional[float],
+                           axis_name: Optional[str],
+                           return_history: bool = True):
+    """Exp-space scan body — the packed fast path, UNIFIED over
+    single-shard vs sharded (psum/pmax replace the local sums) and
+    always-resample vs ESS-adaptive. The carry holds max-normalized exp
+    weights ``w`` instead of log weights: ESS and the evidence increment
+    come from fused sums over ``w``; resamplers consume ``w`` (or its
+    unnormalized cumsum) directly, so the per-step softmax/exp passes of
+    the generic log-space path disappear. Always-resample single-shard
+    traces are identical to the round-3 specialized factories
+    (the 1.47 B metropolis headline path).
 
-    Accept decisions, ancestors, and all outputs are identical (to float
-    rounding) to the generic ``_step_factory`` path.
+    ``resample_exp(key, x, w[, pred]) -> (x_anc, w_pre, a)`` with
+    ``w_pre`` the post-op weights (ones when resampled, ``w`` when the
+    pred-aware op skipped). Evidence algebra (adaptive case):
+    lz_inc = log(sum(w_pre * exp(ll))) - log(sum(w_pre)), where the
+    denominator is exactly n_global after a resample — identical to the
+    generic path's ``log_normalize(logw_pre + ll)`` increment.
+
+    Known representation limit: exp-space weights more than ~88 nats
+    below the running max flush to zero (f32 + XLA FTZ) and cannot
+    recover on later likelihood spikes. Irrelevant whenever resampling
+    actually fires (each fire resets the carry to ones, and a particle
+    88 nats down contributes < 1e-38 to every estimate), but in a
+    never-resample SIS regime over long horizons the log-space generic
+    path (``layout="batch"`` or ``debug_checks=True``) is the exact
+    one — measured 0.2 nats divergence after 40 SIS steps on a carry
+    whose weight spread had reached e5e5.
 
     (Measured dead end, kept as a note: applying the winning-roll
     selection to G@X instead of X — mathematically identical since the
-    selection commutes with per-column maps — REGRESSED d=2 1.35B -> 0.90B
-    and d=16 808M -> 559M: XLA fuses the select chain into the matmul
-    operand read when the matmul consumes it, which the reordering
-    defeats. ``model`` is accepted for future specializations.)"""
-    del model
-    from cusmc_tpu.resampling.rolls import roll_metropolis_sweeps_expspace
+    selection commutes with per-column maps — REGRESSED d=2 1.35B ->
+    0.90B and d=16 808M -> 559M: XLA fuses the select chain into the
+    matmul operand read when the matmul consumes it, which the
+    reordering defeats.)"""
+    import inspect
 
-    log_n = math.log(num_particles)
+    log_n = math.log(n_global)
+    op_takes_pred = False
+    if ess_threshold is not None:
+        try:
+            op_takes_pred = ("pred"
+                             in inspect.signature(resample_exp).parameters)
+        except (TypeError, ValueError):
+            pass
 
-    def resample_propagate(k_res, k_prop, x, w):
-        x_anc, a = roll_metropolis_sweeps_expspace(k_res, x, w, num_sweeps)
-        return propagate_fn(k_prop, x_anc), a
+    def psum_(v):
+        return lax.psum(v, axis_name) if axis_name is not None else v
+
+    def pmax_(v):
+        return lax.pmax(v, axis_name) if axis_name is not None else v
 
     def step(carry, inp):
         x, w, key = carry
         t, y_t = inp
         key_t = jax.random.fold_in(key, t)
         k_res, k_prop = jax.random.split(key_t)
+        if axis_name is not None:
+            k_prop = jax.random.fold_in(k_prop, lax.axis_index(axis_name))
 
-        s1 = jnp.sum(w)
-        s2 = jnp.sum(w * w)
+        s1 = psum_(jnp.sum(w))
+        s2 = psum_(jnp.sum(w * w))
         ess = s1 * s1 / s2
 
-        x_new, a = resample_propagate(k_res, k_prop, x, w)
-        ll = logpdf_fn(y_t, x_new)
-        m = jnp.max(ll)
-        w_new = jnp.exp(ll - m)
-        lz_inc = m + jnp.log(jnp.sum(w_new)) - log_n
+        if ess_threshold is None:
+            x_anc, _, a = resample_exp(k_res, x, w)
+            x_new = propagate_fn(k_prop, x_anc)
+            ll = logpdf_fn(y_t, x_new)
+            m = pmax_(jnp.max(ll))
+            w_new = jnp.exp(ll - m)
+            lz_inc = m + jnp.log(psum_(jnp.sum(w_new))) - log_n
+        else:
+            pred = ess < ess_threshold * n_global
+            n_local = w.shape[0]
+
+            def skip(_):
+                slots = jnp.arange(n_local, dtype=jnp.int32)
+                if axis_name is not None:
+                    slots = slots + lax.axis_index(axis_name) * n_local
+                return x, w, slots
+
+            if op_takes_pred:
+                # Collective-aware op: one call, local work gated
+                # internally (shard_map-safe).
+                x_anc, w_pre, a = resample_exp(k_res, x, w, pred=pred)
+            elif axis_name is None:
+                x_anc, w_pre, a = lax.cond(
+                    pred, lambda _: resample_exp(k_res, x, w), skip, None)
+            else:
+                rx, rw, ra = resample_exp(k_res, x, w)
+                sx, sw, sa = skip(None)
+                x_anc = jnp.where(pred, rx, sx)
+                w_pre = jnp.where(pred, rw, sw)
+                a = jnp.where(pred, ra, sa)
+            denom = jnp.where(pred, jnp.asarray(float(n_global), s1.dtype),
+                              s1)
+            x_new = propagate_fn(k_prop, x_anc)
+            ll = logpdf_fn(y_t, x_new)
+            m = pmax_(jnp.max(ll))
+            w_new = w_pre * jnp.exp(ll - m)
+            lz_inc = m + jnp.log(psum_(jnp.sum(w_new))) - jnp.log(denom)
+            # Long skip runs multiply sub-1 factors into the carry;
+            # renormalize by the global max so it can't creep toward
+            # f32 underflow (everything downstream is scale-invariant).
+            w_new = w_new / pmax_(jnp.max(w_new))
 
         carry = (x_new, w_new, key)
         history = (x_new, ll, a) if return_history else ()
@@ -203,41 +267,106 @@ def _fast_metropolis_step_factory(propagate_fn: Callable,
     return step
 
 
-def _fast_cdf_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
-                           num_particles: int, pos_fn: Callable,
-                           return_history: bool = True):
-    """Exp-space fast path for (packed, CDF-family resampler,
-    always-resample, single shard) — the systematic north-star config
-    (BASELINE.md config 3). Mirrors ``_fast_metropolis_step_factory``:
-    the carry holds max-normalized exp weights ``w``; ESS and the
-    evidence increment are fused sums over ``w``; and the resampler
-    consumes the UNNORMALIZED inclusive cumsum directly, scaling the
-    positions by the total instead — the inverse-CDF search is
-    scale-invariant, so the softmax pass disappears entirely.
-
-    Ancestors and outputs match the generic ``_step_factory`` path to
-    float rounding (cdf/position compares happen in the same relative
-    scale).
-    """
-    log_n = math.log(num_particles)
+def packed_exp_resample_op(resampler_name: str, num_particles_global: int,
+                           **kwargs) -> Callable:
+    """Single-shard exp-space resample op for the fast factory:
+    ``(key, X [d, N], w [N]) -> (x_anc, ones, ancestors)``. The CDF
+    family consumes the UNNORMALIZED inclusive cumsum (the search is
+    scale-invariant; positions scale by the total) so the softmax pass
+    disappears; residual reuses the ESS sum via CSE for its N/sum(w)
+    scaling."""
     from cusmc_tpu.ops.cumsum import blocked_cumsum
     from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply
+    from cusmc_tpu.resampling.classic import POSITION_FNS
+
+    n = num_particles_global
+    if resampler_name == "metropolis":
+        from cusmc_tpu.resampling.rolls import (
+            roll_metropolis_sweeps_expspace,
+            roll_metropolis_sweeps_expspace_auto,
+        )
+
+        num_steps = kwargs.get("num_steps", 10)
+        if num_steps == "auto":
+            # ESS-conditioned sweep truncation (opt-in): B, B/2 or B/4
+            # sweeps by Kish ESS bucket — see rolls.py for thresholds.
+            base = kwargs.get("base_steps", 10)
+
+            def op(key, X, w):
+                x_anc, a = roll_metropolis_sweeps_expspace_auto(
+                    key, X, w, base)
+                return x_anc, jnp.ones_like(w), a
+
+            return op
+
+        def op(key, X, w):
+            x_anc, a = roll_metropolis_sweeps_expspace(key, X, w,
+                                                       num_steps)
+            return x_anc, jnp.ones_like(w), a
+
+        return op
+    if resampler_name in POSITION_FNS:
+        pos_fn = POSITION_FNS[resampler_name]
+
+        def op(key, X, w):
+            cdf, cdf128 = blocked_cumsum(w)
+            positions = pos_fn(key, n, w.dtype) * cdf[-1]
+            x_anc, a = inverse_cdf_apply(cdf, positions, X, cdf128=cdf128)
+            return x_anc, jnp.ones_like(w), a
+
+        return op
+    if resampler_name == "residual":
+
+        def op(key, X, w):
+            s1 = jnp.sum(w)
+            x_anc, a = _residual_resample_packed(key, X, w * (n / s1))
+            return x_anc, jnp.ones_like(w), a
+
+        return op
+    raise KeyError(f"no exp-space fast op for resampler {resampler_name!r}")
+
+
+def _fused_cdf_step_factory(model: DLM, num_particles: int, pos_mode: str,
+                            tile: Optional[int], sr: int,
+                            return_history: bool = True,
+                            interpret: bool = False):
+    """Exp-space scan body around the fused UNBIASED inverse-CDF kernel
+    (ops/fused_cdf_step.py): systematic/stratified resample + propagate
+    + reweight in ONE kernel pass. Same carry/ESS/evidence algebra as
+    ``_fast_exp_step_factory``; the per-step O(N) work outside the
+    kernel is just the blocked cumsum and the weight reductions."""
+    from cusmc_tpu.ops.cumsum import blocked_cumsum
+    from cusmc_tpu.ops.fused_cdf_step import fused_cdf_filter_step
+
+    log_n = math.log(num_particles)
+    k_dim = model.obs_dim
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(model.V_chol)))
+    if model.noise == "mvt":
+        from jax.scipy.special import gammaln
+
+        df = model.df
+        log_norm = (gammaln(0.5 * (df + k_dim)) - gammaln(0.5 * df)
+                    - 0.5 * k_dim * (jnp.log(df) + math.log(math.pi))
+                    - half_logdet)
+    else:
+        df = None
+        log_norm = -0.5 * k_dim * math.log(2.0 * math.pi) - half_logdet
 
     def step(carry, inp):
         x, w, key = carry
         t, y_t = inp
         key_t = jax.random.fold_in(key, t)
-        k_res, k_prop = jax.random.split(key_t)
 
         s1 = jnp.sum(w)
         s2 = jnp.sum(w * w)
         ess = s1 * s1 / s2
 
-        cdf, cdf128 = blocked_cumsum(w)
-        positions = pos_fn(k_res, num_particles, w.dtype) * cdf[-1]
-        x_anc, a = inverse_cdf_apply(cdf, positions, x, cdf128=cdf128)
-        x_new = propagate_fn(k_prop, x_anc)
-        ll = logpdf_fn(y_t, x_new)
+        cdf, cdf128 = blocked_cumsum(w, interpret=interpret)
+        x_new, ll, a = fused_cdf_filter_step(
+            key_t, cdf, cdf128, x, y_t, model.G, model.W_sqrt, model.F,
+            model.V_chol_inv, df, log_norm, noise=model.noise,
+            mode=pos_mode, tile=tile, sr=sr, interpret=interpret,
+            df_int=model.df_int)
         m = jnp.max(ll)
         w_new = jnp.exp(ll - m)
         lz_inc = m + jnp.log(jnp.sum(w_new)) - log_n
@@ -247,6 +376,32 @@ def _fast_cdf_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
         return carry, (history, ess, lz_inc)
 
     return step
+
+
+def _fused_cdf_eligible(model, n: int) -> bool:
+    """Static eligibility for the fused inverse-CDF kernel engine:
+    float32 DLM within the MXU dim cap, standard (one-chi-square) MVT
+    with concrete df >= 2 (the in-kernel Marsaglia-Tsang fallback has
+    no alpha<1 boost), and N big enough for the window walk."""
+    from cusmc_tpu.ops.fused_cdf_step import DEFAULT_SROWS, cdf_auto_tile
+
+    if not (isinstance(model, DLM)
+            and max(model.state_dim, model.obs_dim) <= MAX_MXU_DIM
+            and not model.per_dim_chi
+            and model.G.dtype == jnp.float32):
+        return False
+    tile = cdf_auto_tile(n, max(model.state_dim, model.obs_dim))
+    if n % tile != 0 or n < 2 * DEFAULT_SROWS * 128 or n % 128 != 0:
+        return False
+    if model.noise == "mvt":
+        if isinstance(model.df, jax.core.Tracer):
+            return False
+        try:
+            if float(model.df) < 2.0:
+                return False
+        except Exception:
+            return False
+    return True
 
 
 def _residual_resample_packed(key, X, nw):
@@ -296,41 +451,6 @@ def _residual_resample_packed(key, X, nw):
     a = jnp.where(mask, a_det, a_res)
     x_anc = jnp.where(mask[None, :], x_det, x_res)
     return x_anc, a
-
-
-def _fast_residual_step_factory(propagate_fn: Callable,
-                                logpdf_fn: Callable, num_particles: int,
-                                return_history: bool = True):
-    """Exp-space fast path for (packed, residual, always-resample,
-    single shard): like ``_fast_cdf_step_factory``, but residual needs
-    the NORMALIZED scaled weights n*w/sum(w) for its floor decomposition
-    — the normalizer reuses the ESS sum ``s1``, so the softmax pass
-    still disappears."""
-    log_n = math.log(num_particles)
-
-    def step(carry, inp):
-        x, w, key = carry
-        t, y_t = inp
-        key_t = jax.random.fold_in(key, t)
-        k_res, k_prop = jax.random.split(key_t)
-
-        s1 = jnp.sum(w)
-        s2 = jnp.sum(w * w)
-        ess = s1 * s1 / s2
-
-        x_anc, a = _residual_resample_packed(
-            k_res, x, w * (num_particles / s1))
-        x_new = propagate_fn(k_prop, x_anc)
-        ll = logpdf_fn(y_t, x_new)
-        m = jnp.max(ll)
-        w_new = jnp.exp(ll - m)
-        lz_inc = m + jnp.log(jnp.sum(w_new)) - log_n
-
-        carry = (x_new, w_new, key)
-        history = (x_new, ll, a) if return_history else ()
-        return carry, (history, ess, lz_inc)
-
-    return step
 
 
 def local_resample_op(resampler: Callable, num_particles_global: int):
@@ -407,7 +527,7 @@ def packed_resample_op(resampler_name: str, num_particles_global: int,
 
 def _pallas_step_factory(model: DLM, num_particles: int, tile: int,
                          num_sweeps: int, return_history: bool,
-                         interpret: bool):
+                         interpret: bool, num_window_tiles: int = 2):
     """Scan body around the fully fused Pallas step (ops/fused_step.py):
     resample+propagate+reweight in one kernel, plus the O(N) weight
     normalization / ESS reductions outside it."""
@@ -433,7 +553,7 @@ def _pallas_step_factory(model: DLM, num_particles: int, tile: int,
             key_t, x, logw, y_t, model.G, model.W_sqrt, model.F,
             model.V_chol_inv, df, log_norm, noise=model.noise,
             num_sweeps=num_sweeps, tile=tile, interpret=interpret,
-            df_int=model.df_int)
+            df_int=model.df_int, num_window_tiles=num_window_tiles)
         # Always-resample semantics: pre-weights uniform 1/N.
         logw_new, lse = log_normalize(ll)
         lz_inc = lse - math.log(num_particles)
@@ -487,6 +607,7 @@ def bootstrap_filter(
     axis_name: Optional[str] = None,
     num_particles_global: Optional[int] = None,
     resample_op: Optional[Callable] = None,
+    resample_op_weights: str = "log",
     debug_checks: bool = False,
 ) -> FilterResult:
     """Run the bootstrap filter on observations ``ys`` [T, k].
@@ -499,8 +620,11 @@ def bootstrap_filter(
     "stratified" | "multinomial"); ``resample_op`` overrides the whole
     resampling operation with a custom ``(key, x, logw) -> (x_anc, logw, a)``
     matching the chosen layout (used by the sharded path to inject a
-    collective-aware resampler). ``ess_threshold=None`` -> resample every
-    step (reference behavior); a float in (0, 1] -> adaptive on Kish ESS.
+    collective-aware resampler); with ``resample_op_weights="exp"`` the
+    injected op instead consumes/returns max-normalized exp weights and
+    the scan carries them (the sharded fast path — packed layout only).
+    ``ess_threshold=None`` -> resample every step (reference behavior);
+    a float in (0, 1] -> adaptive on Kish ESS.
 
     ``layout``: "auto" (packed unless a custom batch-layout resample_op is
     injected), "packed", or "batch". Results are layout-independent in
@@ -533,6 +657,8 @@ def bootstrap_filter(
     # vs 87M) and d >= 64 bf16, where reading X once per step beats
     # XLA's (B+1)-way select over [d, N]. The kernel stays OPT-IN (see
     # the engine="auto" note below).
+    user_tile = pallas_tile  # None -> per-kernel auto (the two Pallas
+    # engines have different VMEM/live-set shapes, hence different autos)
     if pallas_tile is None:
         from cusmc_tpu.ops.fused_step import auto_tile
 
@@ -541,25 +667,50 @@ def bootstrap_filter(
         itemsize = (jnp.dtype(model.G.dtype).itemsize
                     if isinstance(model, DLM) else 4)
         pallas_tile = auto_tile(num_particles, dk, itemsize)
+    # The fused-CDF kernel engine (ops/fused_cdf_step.py) is UNBIASED
+    # (exact inverse-CDF positions), so unlike the windowed-Metropolis
+    # kernel it is eligible for auto-selection wherever it measures
+    # faster than the XLA path.
+    fused_cdf_ok = (packed and resampler in ("systematic", "stratified")
+                    and ess_threshold is None and axis_name is None
+                    and resample_op is None and not debug_checks
+                    and (pallas_interpret
+                         or jax.default_backend() == "tpu")
+                    and _fused_cdf_eligible(model, num_particles))
+    use_fused_cdf = False
+    if engine == "pallas" and resampler in ("systematic", "stratified"):
+        if not fused_cdf_ok:
+            raise ValueError(
+                "engine='pallas' with a CDF resampler needs packed "
+                "layout, no ESS threshold, a single shard, and a "
+                f"float32 DLM with d,k <= {MAX_MXU_DIM} (standard MVT "
+                f"df >= 2), N compatible with the window walk")
+        use_fused_cdf = True
     if engine == "auto":
-        # The fused kernel is FASTER than the XLA path at d>=32 f32 /
-        # d>=64 bf16 (benchmarks/RESULTS.md d-sweep), but its
-        # windowed-Megopolis proposal mixes over a 2-tile window per
-        # step instead of globally: at equal B its finite-sweep
-        # resampling bias is STRICTLY WORSE than the XLA roll scheme's,
-        # and the gap widens exactly in the sharp-weight regimes that
-        # high-d configs produce (measured d=32 N=262k B=10: logZ
-        # -3455 windowed vs -2616 roll vs -2097 roll B=30). Silently
-        # trading statistical quality for speed is the wrong default,
-        # so "auto" always takes the XLA path; engine="pallas" is the
-        # documented opt-in for throughput-bound workloads.
+        if fused_cdf_ok:
+            # Measured faster than the XLA path at every d (RESULTS.md
+            # round-4 table) with an identical resampling law, so auto
+            # takes it.
+            use_fused_cdf = True
+        # For metropolis, the windowed-Megopolis kernel is FASTER than
+        # the XLA path at d>=32 f32 / d>=64 bf16 (RESULTS.md d-sweep),
+        # but its windowed proposal mixes over a 2-tile window per step
+        # instead of globally: at equal B its finite-sweep resampling
+        # bias is STRICTLY WORSE than the XLA roll scheme's, and the
+        # gap widens exactly in the sharp-weight regimes that high-d
+        # configs produce (measured d=32 N=262k B=10: logZ -3455
+        # windowed vs -2616 roll vs -2097 roll B=30). Silently trading
+        # statistical quality for speed is the wrong default, so "auto"
+        # always takes the XLA path for metropolis; engine="pallas" is
+        # the documented opt-in for throughput-bound workloads.
         engine = "xla"
-    if engine == "pallas":
+    if engine == "pallas" and not use_fused_cdf:
         if not (packed and resampler == "metropolis"
                 and ess_threshold is None and axis_name is None):
             raise ValueError("engine='pallas' requires packed layout, "
-                             "metropolis resampling, no ESS threshold, "
-                             "and a single shard")
+                             "a metropolis/systematic/stratified "
+                             "resampler, no ESS threshold, and a single "
+                             "shard")
         if not _pallas_eligible(model, num_particles, pallas_tile):
             raise ValueError(
                 f"pallas engine needs a DLM with d,k <= {MAX_MXU_DIM}, "
@@ -567,22 +718,31 @@ def bootstrap_filter(
                 f"a multiple of 128, standard MVT with concrete df >= 2, "
                 f"and a float32 or bfloat16 state")
 
-    # Exp-space fast paths (packed, resample every step, one shard):
-    # carry max-normalized exp weights through the scan — metropolis is
-    # the exact reference configuration, the CDF family is the
-    # systematic north star (see _fast_metropolis_step_factory /
-    # _fast_cdf_step_factory).
+    # Exp-space fast paths (packed): carry max-normalized exp weights
+    # through the scan (see _fast_exp_step_factory). Round 4 lifted the
+    # round-3 single-shard/always-resample restrictions: ESS-adaptive
+    # configs gate the resample via cond/pred on the carried sums, and
+    # sharded configs inject collective exp ops (parallel/resampling.py
+    # weights="exp") via resample_op_weights="exp".
     from cusmc_tpu.resampling.classic import POSITION_FNS
 
-    fast_common = (engine == "xla" and packed and ess_threshold is None
-                   and axis_name is None and resample_op is None
-                   and not debug_checks)
-    fast_metropolis = fast_common and resampler == "metropolis"
-    fast_cdf = fast_common and resampler in POSITION_FNS
-    fast_residual = fast_common and resampler == "residual"
-    fast_exp = fast_metropolis or fast_cdf or fast_residual
+    exp_op = None
+    if resample_op is not None and resample_op_weights == "exp":
+        if not packed or engine != "xla" or debug_checks:
+            raise ValueError(
+                "resample_op_weights='exp' needs packed layout, "
+                "engine in ('auto', 'xla'), and debug_checks=False")
+        exp_op = resample_op
+    elif (engine == "xla" and packed and not debug_checks
+          and not use_fused_cdf and resample_op is None
+          and axis_name is None
+          and (resampler in ("metropolis", "residual")
+               or resampler in POSITION_FNS)):
+        exp_op = packed_exp_resample_op(resampler, n_global,
+                                        **resampler_kwargs)
+    fast_exp = use_fused_cdf or exp_op is not None
 
-    if engine != "pallas" and not fast_exp and resample_op is None:
+    if (engine != "pallas" and not fast_exp and resample_op is None):
         if packed:
             resample_op = packed_resample_op(resampler, n_global,
                                              **resampler_kwargs)
@@ -608,23 +768,21 @@ def bootstrap_filter(
 
     num_steps = ys.shape[0]
     ts = jnp.arange(1, num_steps)
-    if engine == "pallas":
+    if use_fused_cdf:
+        step = _fused_cdf_step_factory(
+            model, num_particles, resampler, user_tile,
+            resampler_kwargs.get("sr", 8), return_history,
+            pallas_interpret)
+    elif engine == "pallas":
         num_sweeps = resampler_kwargs.get("num_steps", 10)
-        step = _pallas_step_factory(model, num_particles, pallas_tile,
-                                    num_sweeps, return_history,
-                                    pallas_interpret)
-    elif fast_metropolis:
-        num_sweeps = resampler_kwargs.get("num_steps", 10)
-        step = _fast_metropolis_step_factory(
-            propagate_fn, logpdf_fn, num_particles, num_sweeps,
-            return_history, model=model)
-    elif fast_cdf:
-        step = _fast_cdf_step_factory(
-            propagate_fn, logpdf_fn, num_particles,
-            POSITION_FNS[resampler], return_history)
-    elif fast_residual:
-        step = _fast_residual_step_factory(
-            propagate_fn, logpdf_fn, num_particles, return_history)
+        step = _pallas_step_factory(
+            model, num_particles, pallas_tile, num_sweeps, return_history,
+            pallas_interpret,
+            resampler_kwargs.get("num_window_tiles", 2))
+    elif exp_op is not None:
+        step = _fast_exp_step_factory(
+            propagate_fn, logpdf_fn, n_global, exp_op, ess_threshold,
+            axis_name, return_history)
     else:
         step = _step_factory(propagate_fn, logpdf_fn, resample_op,
                              ess_threshold, n_global, axis_name,
@@ -633,7 +791,10 @@ def bootstrap_filter(
         w0 = jnp.exp(logw0 - jnp.max(logw0))  # uniform -> ones
         (x_f, w_f, _), (history, esss, lzs) = lax.scan(
             step, (x0, w0, k_scan), (ts, ys[1:]))
-        logw_f = jnp.log(w_f) - jnp.log(jnp.sum(w_f))
+        sw_f = jnp.sum(w_f)
+        if axis_name is not None:
+            sw_f = lax.psum(sw_f, axis_name)
+        logw_f = jnp.log(w_f) - jnp.log(sw_f)
     else:
         (x_f, logw_f, _), (history, esss, lzs) = lax.scan(
             step, (x0, logw0, k_scan), (ts, ys[1:]))

@@ -317,3 +317,88 @@ def test_ring_round_gating_pod_scale(mesh, key):
     assert (np.asarray(a) == 0).all()
     np.testing.assert_array_equal(np.asarray(x),
                                   np.asarray(jnp.take(X, a, axis=1)))
+
+
+# ---- round 4: exp-space sharded weight pipeline ------------------------
+
+
+@pytest.mark.parametrize("name", ["systematic", "stratified",
+                                  "multinomial"])
+def test_exp_ops_match_log_ops(mesh, key, name):
+    # weights="exp" fed max-normalized exp weights must produce exactly
+    # the ancestors the log op derives from logw (same key): both reduce
+    # to the same gathered exp-weight vector before the cumsum/search.
+    kx, kw, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    logw = jax.random.normal(kw, (N,), jnp.float32)
+    w = jnp.exp(logw - jnp.max(logw))
+
+    op_log = ring_cdf_resample_op(name, AXIS, N, L, weights="log")
+    op_exp = ring_cdf_resample_op(name, AXIS, N, L, weights="exp")
+    x_l, lw_l, a_l = _run_packed_op(mesh, op_log, kr, X, logw)
+    x_e, w_e, a_e = _run_packed_op(mesh, op_exp, kr, X, w)
+
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(a_e))
+    np.testing.assert_array_equal(np.asarray(x_l), np.asarray(x_e))
+    # exp op returns uniform-as-ones; log op returns -log N.
+    np.testing.assert_allclose(np.asarray(w_e), 1.0)
+    np.testing.assert_allclose(np.asarray(lw_l), -np.log(N), rtol=1e-6)
+
+
+def test_exp_metropolis_matches_log(mesh, key):
+    kx, kw, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    logw = jax.random.normal(kw, (N,), jnp.float32)
+    w = jnp.exp(logw - jnp.max(logw))
+    op_log = roll_metropolis_sharded_op(AXIS, N, L, weights="log")
+    op_exp = roll_metropolis_sharded_op(AXIS, N, L, weights="exp")
+    _, _, a_l = _run_packed_op(mesh, op_log, kr, X, logw)
+    _, _, a_e = _run_packed_op(mesh, op_exp, kr, X, w)
+    # u * w_cur < w_cand <=> log u < lw_cand - lw_cur up to rounding;
+    # identical uniforms -> near-identical accept chains.
+    assert (np.asarray(a_l) == np.asarray(a_e)).mean() > 0.999
+
+
+def test_sharded_residual_deterministic_prefix(mesh, key):
+    # The first n_det output slots of residual resampling are
+    # key-independent (floor-count grid): the sharded op must reproduce
+    # the single-device law exactly there, and fill the remainder with
+    # draws from the residual distribution.
+    from cusmc_tpu.resampling.classic import (
+        _residual_parts,
+        residual_ancestors,
+    )
+
+    kx, kw, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    logw = 2.5 * jax.random.normal(kw, (N,), jnp.float32)
+
+    op = ring_cdf_resample_op("residual", AXIS, N, L, weights="log")
+    x_s, _, a_s = _run_packed_op(mesh, op, kr, X, logw)
+    a_s = np.asarray(a_s)
+
+    _, n_det, _ = _residual_parts(logw)
+    n_det = int(n_det)
+    assert 0 < n_det < N  # the fixture weights give a mixed decomposition
+    a_single = np.asarray(residual_ancestors(kr, logw))
+    np.testing.assert_array_equal(a_s[:n_det], a_single[:n_det])
+    # State equals the gather of the op's own ancestors everywhere.
+    np.testing.assert_array_equal(np.asarray(x_s),
+                                  np.asarray(jnp.take(X, a_s, axis=1)))
+    # Offspring counts dominate the floor counts.
+    w = np.asarray(jax.nn.softmax(logw))
+    floor = np.floor(N * w).astype(int)
+    counts = np.bincount(a_s, minlength=N)
+    assert (counts >= floor).all()
+
+
+def test_sharded_residual_exp_matches_log(mesh, key):
+    kx, kw, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    logw = jax.random.normal(kw, (N,), jnp.float32)
+    w = jnp.exp(logw - jnp.max(logw))
+    op_log = ring_cdf_resample_op("residual", AXIS, N, L, weights="log")
+    op_exp = ring_cdf_resample_op("residual", AXIS, N, L, weights="exp")
+    _, _, a_l = _run_packed_op(mesh, op_log, kr, X, logw)
+    _, _, a_e = _run_packed_op(mesh, op_exp, kr, X, w)
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(a_e))

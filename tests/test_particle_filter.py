@@ -174,3 +174,87 @@ def test_mixed_precision_state_dtype(demo, key):
                          return_history=False)
     assert r.final_particles.dtype == jnp.bfloat16
     assert np.isfinite(float(r.log_evidence))
+
+
+def test_adaptive_exp_path_matches_always_resample(demo, key):
+    # Round 4: ESS-adaptive routes through the exp-space fast factory.
+    # With a threshold that always fires (ESS < 1.01 N always) the cond
+    # resample branch must reproduce the always-resample run exactly
+    # (same keys -> same ancestors; evidence to rounding).
+    params, ys = demo
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys32 = jnp.asarray(ys[:60], jnp.float32)
+    r_always = bootstrap_filter(key, model, ys32, 2048,
+                                resampler="systematic")
+    r_adapt = bootstrap_filter(key, model, ys32, 2048,
+                               resampler="systematic", ess_threshold=1.01)
+    np.testing.assert_array_equal(np.asarray(r_always.ancestors),
+                                  np.asarray(r_adapt.ancestors))
+    np.testing.assert_allclose(float(r_always.log_evidence),
+                               float(r_adapt.log_evidence), rtol=1e-5)
+
+
+def test_adaptive_exp_path_never_resample_is_sis(demo, key):
+    # Threshold 0: pred never fires -> pure SIS: identity ancestry
+    # everywhere. Against the exact log-space oracle (debug_checks=True
+    # forces the generic step with the same packed layout and per-step
+    # key consumption) the evidence matches while the exp carry's
+    # representable range holds (~88 nats of weight spread; the
+    # documented flush-to-zero limit kicks in on longer degenerate
+    # horizons — see _fast_exp_step_factory).
+    params, ys = demo
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys32 = jnp.asarray(ys[:30], jnp.float32)
+    res = bootstrap_filter(key, model, ys32, 4096,
+                           resampler="systematic", ess_threshold=0.0)
+    a = np.asarray(res.ancestors)
+    np.testing.assert_array_equal(a, np.tile(np.arange(4096), (30, 1)))
+    ref = bootstrap_filter(key, model, ys32, 4096,
+                           resampler="systematic", ess_threshold=0.0,
+                           debug_checks=True)
+    np.testing.assert_allclose(float(res.log_evidence),
+                               float(ref.log_evidence), rtol=1e-5)
+
+
+def test_adaptive_exp_path_matches_log_oracle_realistic(demo, key):
+    # Realistic adaptive threshold: resampling fires intermittently,
+    # resetting the exp carry. Exact equality with the log-space generic
+    # path is chaotic (one near-threshold ESS rounding flip diverges all
+    # later states), so assert the statistical contract instead: both
+    # paths fire a similar number of times and land on the Kalman
+    # evidence.
+    params, ys = demo
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys32 = jnp.asarray(ys[:100], jnp.float32)
+    res = bootstrap_filter(key, model, ys32, 2048,
+                           resampler="systematic", ess_threshold=0.5)
+    ref = bootstrap_filter(key, model, ys32, 2048,
+                           resampler="systematic", ess_threshold=0.5,
+                           debug_checks=True)
+
+    def fires(r):
+        a = np.asarray(r.ancestors)
+        return int((a != np.arange(2048)[None, :]).any(axis=1).sum())
+
+    assert abs(fires(res) - fires(ref)) <= 5, (fires(res), fires(ref))
+    _, _, kll = kalman_filter(np.asarray(ys32),
+                              **{k: params[k] for k in
+                                 ("F", "G", "V", "W", "m0", "C0")})
+    for r in (res, ref):
+        assert abs(float(r.log_evidence) - float(kll)) \
+            < 0.03 * abs(float(kll))
+
+
+@pytest.mark.parametrize("resampler", ["metropolis", "residual"])
+def test_adaptive_exp_other_resamplers(demo, key, resampler):
+    # The unified exp factory serves every packed fast resampler with a
+    # threshold; sanity: finite evidence, tracking, mixed skip/fire.
+    params, ys = demo
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys32 = jnp.asarray(ys[:80], jnp.float32)
+    res = bootstrap_filter(key, model, ys32, 2048, resampler=resampler,
+                           ess_threshold=0.5)
+    assert np.isfinite(float(res.log_evidence))
+    a = np.asarray(res.ancestors)
+    ident = (a == np.arange(2048)[None, :]).all(axis=1)
+    assert ident.any(), "threshold 0.5 should skip some steps"

@@ -170,3 +170,59 @@ class TestPackedResidualOp:
         for row in np.asarray(ancs):
             counts += np.bincount(row, minlength=n)
         np.testing.assert_allclose(counts / (reps * n), w, atol=0.004)
+
+
+def test_auto_sweeps_sharp_weights_equals_full_budget(key):
+    # ess/N <= 0.5 routes to the full-B branch: outputs must be
+    # IDENTICAL to the fixed-B walk (same key stream).
+    from cusmc_tpu.resampling.rolls import (
+        roll_metropolis_sweeps_expspace,
+        roll_metropolis_sweeps_expspace_auto,
+    )
+
+    n = 2048
+    X = jax.random.normal(key, (2, n), jnp.float32)
+    # Sharp: a few heavy particles -> low ESS ratio.
+    w = jnp.full((n,), 1e-4).at[:8].set(1.0)
+    x_a, a_a = roll_metropolis_sweeps_expspace_auto(key, X, w, 10)
+    x_f, a_f = roll_metropolis_sweeps_expspace(key, X, w, 10)
+    np.testing.assert_array_equal(np.asarray(a_a), np.asarray(a_f))
+    np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_f))
+
+
+def test_auto_sweeps_uniformish_offspring_law(key):
+    # ess/N > 0.75 routes to the B/4 branch; the offspring law must
+    # still track the weights (near-uniform regime mixes in few sweeps).
+    from cusmc_tpu.resampling.rolls import (
+        roll_metropolis_sweeps_expspace_auto,
+    )
+
+    n = 1024
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(1.0 + 0.3 * rng.random(n), jnp.float32)  # ess/N ~ 0.99
+    X = jnp.zeros((1, n), jnp.float32)
+    counts = np.zeros(n)
+    reps = 200
+    fn = jax.jit(lambda k: roll_metropolis_sweeps_expspace_auto(
+        k, X, w, 10)[1])
+    for i in range(reps):
+        counts += np.bincount(np.asarray(fn(jax.random.fold_in(key, i))),
+                              minlength=n)
+    emp = counts / (reps * n)
+    want = np.asarray(w) / float(jnp.sum(w))
+    np.testing.assert_allclose(emp, want, atol=6e-4)
+
+
+def test_auto_sweeps_filter_runs(key):
+    # End-to-end plumbing: resampler_kwargs={"num_steps": "auto"}.
+    from cusmc_tpu.io.data import demo_model_params
+    from cusmc_tpu.models.dlm import DLM
+    from cusmc_tpu.smc.particle_filter import bootstrap_filter
+
+    params = demo_model_params()
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys = jnp.zeros((8, 2), jnp.float32)
+    res = bootstrap_filter(key, model, ys, 1024, resampler="metropolis",
+                           resampler_kwargs={"num_steps": "auto"},
+                           return_history=False)
+    assert np.isfinite(float(res.log_evidence))

@@ -33,7 +33,7 @@ Round-3 rewrite (the round-2 version lost 3.4x to the XLA packed path):
   exponentiated once after the DMA): ``u * w_cur < w_cand`` replaces
   ``log u < lw_cand - lw_cur``, deleting a transcendental per particle
   per sweep — the same trick as the XLA fast path
-  (``particle_filter._fast_metropolis_step_factory``);
+  (``particle_filter._fast_exp_step_factory``);
 - the propagate/reweight matvecs are in-kernel MXU matmuls on
   VMEM-resident matrices at EVERY d (measured faster than SMEM-scalar
   unrolled VPU FMAs even at d=2, matching the XLA-path finding in
@@ -126,7 +126,7 @@ def auto_tile(n: int, dk: int, state_itemsize: int = 4) -> int:
 
 def _step_kernel(
     # scalar prefetch
-    s_ref,        # [1] int32: global window offset for this step
+    s_ref,        # [2] int32: window offsets (primary pair, extra tile)
     seed_ref,     # [2] int32: PRNG seed material (step-dependent)
     # tensor/scalar inputs
     xw_ref,       # [d, N] particles (ANY/HBM)
@@ -142,15 +142,16 @@ def _step_kernel(
     ll_ref,       # [1, tile]
     a_ref,        # [1, tile] int32 global ancestor indices
     # scratch
-    xwin_ref,     # [2, d, 2*tile] VMEM candidate windows (double-buffered)
-    wwin_ref,     # [2, 1, 2*tile] VMEM exp-space weights
-    sem,          # DMA semaphores (2, 2, 2): (kind, half, slot)
+    xwin_ref,     # [2, d, wt*tile] VMEM candidate windows (double-buffered)
+    wwin_ref,     # [2, 1, wt*tile] VMEM exp-space weights
+    sem,          # DMA semaphores (2, wt, 2): (kind, window tile, slot)
     *,
     n: int, tile: int, d: int, k: int, num_sweeps: int, noise: str,
-    df_int,
+    df_int, num_window_tiles: int = 2,
 ):
     i = pl.program_id(0)
     nb = n // tile
+    wt = num_window_tiles
     # Mix the tile id multiplicatively (golden-ratio hash, wrapped to
     # int32): adjacent raw seeds can yield correlated streams, which would
     # correlate resampling across tiles and inflate estimator variance.
@@ -163,12 +164,18 @@ def _step_kernel(
     # The step's coarse offset s is in tile units; within-window coverage
     # comes from the 128-aligned per-sweep slice offsets plus the fine
     # lane rotation below, so all global offsets remain reachable.
+    # num_window_tiles=3 appends ONE extra tile at the INDEPENDENT
+    # coarse offset s2 (1.5x window DMA): per-sweep proposal slices then
+    # span [0, 2*tile], so candidates mix two separated regions of the
+    # particle array per step — the bias-reduction experiment for the
+    # windowed proposal (VERDICT round-3 item 5).
     def half_of(j, h):
-        w = jax.lax.rem(jnp.int32(j) + s_ref[0] + h, jnp.int32(nb)) * tile
+        base = s_ref[0] + h if h < 2 else s_ref[1]
+        w = jax.lax.rem(jnp.int32(j) + base, jnp.int32(nb)) * tile
         return pl.multiple_of(w, 128)
 
     def _copies(slot, j):
-        for h in (0, 1):
+        for h in range(wt):
             w = half_of(j, h)
             yield pltpu.make_async_copy(
                 xw_ref.at[:, pl.ds(w, tile)],
@@ -230,7 +237,8 @@ def _step_kernel(
     w_cur = wwin_ref[slot, :, :tile]
     x_cur = xwin_ref[slot, :, :tile]
     a_off = jnp.zeros((1, tile), jnp.int32)
-    n_off = tile // 128 + 1  # candidate slice offsets: 128 * [0, tile/128]
+    # candidate slice offsets: 128 * [0, (wt-1)*tile/128]
+    n_off = (wt - 1) * tile // 128 + 1
     ubits = pltpu.prng_random_bits((num_sweeps, tile))
     dbits = pltpu.prng_random_bits((1, 128))
 
@@ -246,13 +254,20 @@ def _step_kernel(
         x_cur = jnp.where(acc, xwin_ref[slot, :, pl.ds(db, tile)], x_cur)
         a_off = jnp.where(acc, jnp.full((1, tile), db, jnp.int32), a_off)
 
-    # Global ancestor: rotated window pos q maps to window pos
-    # (q + r) mod 2*tile, i.e. global ((ws + q + r) mod n ... with window
-    # wrap folded in first).
+    # Global ancestor: rotated window pos q maps to pre-roll window pos
+    # (q + r) mod (wt*tile); positions in the first (contiguous) pair
+    # map to ws + pos, the extra third tile to its own base ws2.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     pos = a_off + lane + r.astype(jnp.int32)
-    pos = jnp.where(pos >= 2 * tile, pos - 2 * tile, pos)
-    a_ref[:, :] = jax.lax.rem(ws + pos, jnp.int32(n))
+    pos = jnp.where(pos >= wt * tile, pos - wt * tile, pos)
+    if wt == 2:
+        a_ref[:, :] = jax.lax.rem(ws + pos, jnp.int32(n))
+    else:
+        ws2 = half_of(i, 2)
+        in_pair = pos < 2 * tile
+        a_pair = jax.lax.rem(ws + pos, jnp.int32(n))
+        a_extra = jax.lax.rem(ws2 + (pos - 2 * tile), jnp.int32(n))
+        a_ref[:, :] = jnp.where(in_pair, a_pair, a_extra)
 
     # In-kernel MXU matmuls (beat unrolled FMAs at every d). Precision
     # mirrors the XLA packed path (ops/packed.matvec, default-precision
@@ -330,17 +345,22 @@ def _step_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("noise", "num_sweeps", "tile", "interpret", "df_int"))
+    static_argnames=("noise", "num_sweeps", "tile", "interpret", "df_int",
+                     "num_window_tiles"))
 def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
                       *, noise: str = "mvn", num_sweeps: int = 10,
                       tile: int = DEFAULT_TILE, interpret: bool = False,
-                      df_int: int = None):
+                      df_int: int = None, num_window_tiles: int = 2):
     """One fused filter step on packed particles.
 
     X [d, N] (N divisible by ``tile``), logw [N]; returns
     (X_new [d, N], loglik [N], ancestors [N] int32). ``df_int`` (static)
     selects the exact one-log integer-df chi-square for the MVT mixture;
     None falls back to the fixed-round Marsaglia-Tsang gamma.
+    ``num_window_tiles=3`` widens the proposal window with one extra
+    tile at an independent random offset (1.5x window DMA, candidates
+    from two separated regions per step — the windowed-bias-reduction
+    experiment; 2 is the round-3 behavior).
     """
     d, n = X.shape
     k = F.shape[0]
@@ -378,11 +398,18 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
     y_t = jnp.asarray(y_t, jnp.float32).reshape(k, 1)
     logw = jnp.asarray(logw, jnp.float32)
 
+    if num_window_tiles not in (2, 3):
+        raise ValueError("num_window_tiles must be 2 or 3")
+    if n < num_window_tiles * tile:
+        raise ValueError(f"N={n} smaller than the {num_window_tiles}-tile "
+                         f"window")
     k_s, k_seed = jax.random.split(key)
-    # Coarse window offset in TILE units (the kernel's two window halves
-    # are tile-aligned source slices; see _step_kernel). Finer placement
-    # comes from the in-kernel 128-aligned sweep offsets + lane rolls.
-    s = jax.random.randint(k_s, (1,), 0, n // tile, jnp.int32)
+    # Coarse window offsets in TILE units (the kernel's window tiles are
+    # tile-aligned source slices; see _step_kernel): s[0] places the
+    # contiguous primary pair, s[1] the independent extra tile (used
+    # only when num_window_tiles=3). Finer placement comes from the
+    # in-kernel 128-aligned sweep offsets + lane rolls.
+    s = jax.random.randint(k_s, (2,), 0, n // tile, jnp.int32)
     seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
 
     lw2 = logw[None, :]
@@ -412,14 +439,15 @@ def fused_filter_step(key, X, logw, y_t, G, Q, F, Li, df, log_norm,
             pl.BlockSpec((1, tile), lambda i, *_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, d, 2 * tile), sdt),
-            pltpu.VMEM((2, 1, 2 * tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, 2)),
+            pltpu.VMEM((2, d, num_window_tiles * tile), sdt),
+            pltpu.VMEM((2, 1, num_window_tiles * tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, num_window_tiles, 2)),
         ],
     )
     kernel = functools.partial(
         _step_kernel, n=n, tile=tile, d=d, k=k,
-        num_sweeps=num_sweeps, noise=noise, df_int=df_int)
+        num_sweeps=num_sweeps, noise=noise, df_int=df_int,
+        num_window_tiles=num_window_tiles)
 
     def build_and_call():
         call = pl.pallas_call(

@@ -221,3 +221,28 @@ def test_engine_pallas_rejects_bfloat16_odd_d(key):
     with pytest.raises(ValueError, match="even d"):
         fused_filter_step(key, X, jnp.zeros((512,)), jnp.zeros((d,)),
                           eye, eye, eye, eye, None, 0.0, tile=256)
+
+
+def test_three_tile_window_structural(key, xl):
+    # num_window_tiles=3 (bias-reduction experiment): shapes, ranges,
+    # and the zero-noise gather consistency must hold with the piecewise
+    # ancestor mapping across the extra tile.
+    X, logw = xl
+    G = jnp.eye(D)
+    Q = jnp.zeros((D, D), jnp.float32)
+    F = jnp.eye(D)
+    Li = jnp.eye(D)
+    y = jnp.zeros((D,), jnp.float32)
+    Xn, ll, a = fused_filter_step(key, X, logw, y, G, Q, F, Li, None,
+                                  jnp.float32(0.0), tile=TILE,
+                                  interpret=True, num_window_tiles=3)
+    a_np = np.asarray(a)
+    assert (a_np >= 0).all() and (a_np < N).all()
+    np.testing.assert_array_equal(np.asarray(Xn),
+                                  np.asarray(X)[:, a_np])
+
+
+def test_window_tiles_validation(key, xl):
+    X, logw = xl
+    with pytest.raises(ValueError, match="num_window_tiles"):
+        run_step_kwargs(key, X, logw, num_window_tiles=4)

@@ -114,6 +114,82 @@ def main():
           abs(zp - zk) < 0.08 * abs(zk) and abs(zp - zx) < 0.04 * abs(zk),
           f"(pallas {zp:.1f}, xla {zx:.1f}, kalman {zk:.1f})")
 
+    # 5. fused inverse-CDF engine (round 4, ops/fused_cdf_step.py):
+    # in-kernel PRNG noise + in-kernel positions on the real chip.
+    # 5a. ancestors obey the inverse-CDF law (exact positions, real u).
+    w32 = jax.random.uniform(jax.random.fold_in(key, 7), (n,),
+                             jnp.float32, minval=0.01)
+    from cusmc_tpu.ops.cumsum import blocked_cumsum
+    from cusmc_tpu.ops.fused_cdf_step import fused_cdf_filter_step
+
+    cdf, cdf128 = blocked_cumsum(w32)
+    Xc, llc, ac = fused_cdf_filter_step(
+        key, cdf, cdf128, X, y, I, 0.0 * I, I, I, None, jnp.float32(0.0),
+        noise="mvn", mode="systematic", tile=1024)
+    k_u, _ = jax.random.split(key)
+    u = float(jax.random.uniform(k_u, (), jnp.float32))
+    cdf_np = np.asarray(cdf)
+    pos = (np.arange(n) + u) * (cdf_np[-1] / n)
+    a_np = np.asarray(ac)
+    lo = np.where(a_np > 0, cdf_np[np.maximum(a_np - 1, 0)], -np.inf)
+    hi = cdf_np[np.minimum(a_np + 1, n - 1)]
+    sandwich_ok = bool(((lo <= pos + 1e-5 * np.abs(pos))
+                        & (pos <= hi + 1e-5 * np.abs(hi))).all())
+    gather_ok = bool((np.asarray(Xc) == np.asarray(X)[:, a_np]).all())
+    check("fused-cdf ancestors obey inverse-CDF law (zero noise)",
+          sandwich_ok and gather_ok,
+          f"(sandwich {sandwich_ok}, gather {gather_ok})")
+
+    # 5b. noise moments through the fused-cdf propagate stage.
+    cdf0, cdf0_128 = blocked_cumsum(jnp.ones((1 << 17,), jnp.float32))
+    Xc2, _, _ = fused_cdf_filter_step(
+        key, cdf0, cdf0_128, X0, y, 0.0 * I, 0.5 * I, I, I, None,
+        jnp.float32(0.0), noise="mvn", mode="systematic")
+    xs = np.asarray(Xc2)
+    check("fused-cdf mvn noise moments", abs(xs.mean()) < 0.01
+          and abs(xs.std() - 0.5) < 0.02,
+          f"(mean {xs.mean():.4f}, std {xs.std():.4f})")
+    Xc3, _, _ = fused_cdf_filter_step(
+        key, cdf0, cdf0_128, X0, y, 0.0 * I, 0.5 * I, I, I,
+        jnp.float32(5.0), jnp.float32(0.0), noise="mvt",
+        mode="systematic", df_int=5)
+    vt = np.asarray(Xc3).var()
+    check("fused-cdf mvt scale-mixture variance (df_int=5)",
+          abs(vt - 5.0 / 3.0 * 0.25) < 0.05, f"(var {vt:.4f})")
+
+    # 5c. end-to-end: fused-cdf systematic filter matches the XLA
+    # systematic filter AND the Kalman oracle (no finite-B band —
+    # systematic is unbiased, so the tolerance is tight MC error).
+    rc = bootstrap_filter(key, model, ys, 8192, resampler="systematic",
+                          engine="pallas", return_history=False)
+    rcx = bootstrap_filter(key, model, ys, 8192, resampler="systematic",
+                           engine="xla", return_history=False)
+    zc, zcx = float(rc.log_evidence), float(rcx.log_evidence)
+    check("fused-cdf systematic log-evidence (vs xla vs kalman)",
+          abs(zc - zk) < 0.02 * abs(zk) and abs(zc - zcx) < 0.02 * abs(zk),
+          f"(fused {zc:.1f}, xla {zcx:.1f}, kalman {zk:.1f})")
+
+    # 5d. stratified in-kernel positions: offspring ~ weights.
+    wst = np.exp(np.asarray(logw) - np.asarray(logw).max())
+    wst /= wst.sum()
+
+    def cdf_offspring(reps=30):
+        tot = np.zeros(n)
+        wj = jnp.asarray(wst * n, jnp.float32)
+        c, c128 = blocked_cumsum(wj)
+        for i in range(reps):
+            a = fused_cdf_filter_step(
+                jax.random.fold_in(key, 100 + i), c, c128, X, y, I,
+                0.0 * I, I, I, None, jnp.float32(0.0), noise="mvn",
+                mode="stratified", tile=1024)[2]
+            tot += np.bincount(np.asarray(a), minlength=n)
+        return tot / (reps * n)
+
+    emp_st = cdf_offspring()
+    err_st = np.abs(emp_st - wst).mean() / wst.mean()
+    check("fused-cdf stratified offspring ~ weights", err_st < 0.2,
+          f"(rel err {err_st:.3f})")
+
     print("ALL PASS" if not FAILURES else f"FAILURES: {FAILURES}")
     sys.exit(1 if FAILURES else 0)
 

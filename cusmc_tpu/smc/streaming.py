@@ -28,10 +28,76 @@ from cusmc_tpu.models.dlm import DLM
 from cusmc_tpu.resampling import get_resampler
 from cusmc_tpu.smc.particle_filter import (
     FilterResult,
+    _fast_exp_step_factory,
     _step_factory,
     local_resample_op,
     packed_resample_op,
 )
+
+
+def _sharded_chunk_runner(model, num_particles, mesh, axis, resampler,
+                          resampler_kwargs, ess_threshold):
+    """Build the shard_map'd chunk scan + sharded initializer for the
+    particle-sharded streaming filter: the same exp-space collective
+    machinery as ``parallel.filter.sharded_bootstrap_filter``, exposed
+    at chunk granularity so the carry persists on-device between host
+    history drains."""
+    from jax.sharding import PartitionSpec as P
+
+    from cusmc_tpu.parallel.resampling import (
+        ring_cdf_resample_op,
+        roll_metropolis_sharded_op,
+    )
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape[axis]
+    if num_particles % n_shards != 0:
+        raise ValueError(f"num_particles={num_particles} not divisible "
+                         f"by mesh axis {axis!r} size {n_shards}")
+    n_local = num_particles // n_shards
+    if resampler == "metropolis":
+        op = roll_metropolis_sharded_op(axis, num_particles, n_local,
+                                        weights="exp", **resampler_kwargs)
+    else:
+        op = ring_cdf_resample_op(resampler, axis, num_particles, n_local,
+                                  weights="exp", **resampler_kwargs)
+    step = _fast_exp_step_factory(
+        model.propagate_packed, model.observation_logpdf_packed,
+        num_particles, op, ess_threshold, axis, return_history=True)
+
+    def chunk_local(x, w, key, ts, ys_chunk):
+        (x2, w2, _), ((xs, lls, ancs), esss, lzs) = lax.scan(
+            step, (x, w, key), (ts, ys_chunk))
+        return x2, w2, xs, lls, ancs, esss, lzs
+
+    sh_x = P(None, axis)
+    run = jax.jit(shard_map(
+        chunk_local, mesh=mesh,
+        in_specs=(sh_x, P(axis), P(), P(), P()),
+        out_specs=(sh_x, P(axis), P(None, None, axis), P(None, axis),
+                   P(None, axis), P(), P()),
+        check_vma=False))
+
+    def run_chunk(carry, ts, ys_chunk):
+        x, w, key = carry
+        x2, w2, xs, lls, ancs, esss, lzs = run(x, w, key, ts, ys_chunk)
+        return (x2, w2, key), ((xs, lls, ancs), esss, lzs)
+
+    def init_local(key):
+        k = jax.random.fold_in(key, lax.axis_index(axis))
+        x0 = model.sample_initial_packed(k, n_local)
+        w0 = jnp.ones((n_local,),
+                      jnp.promote_types(x0.dtype, jnp.float32))
+        return x0, w0
+
+    init = jax.jit(shard_map(init_local, mesh=mesh, in_specs=(P(),),
+                             out_specs=(sh_x, P(axis)), check_vma=False))
+    wdtype = jnp.promote_types(model.G.dtype, jnp.float32)
+    return run_chunk, init, wdtype
 
 
 def streaming_bootstrap_filter(
@@ -51,6 +117,8 @@ def streaming_bootstrap_filter(
     resume: bool = False,
     layout: str = "packed",
     halt_on_nonfinite: bool = True,
+    mesh=None,
+    axis: str = "particles",
 ):
     """Run the filter over ``ys`` [T, k] in chunks of ``chunk_steps``.
 
@@ -75,40 +143,87 @@ def streaming_bootstrap_filter(
     with the last good step + snapshot path. A later call with
     ``resume=True`` (after fixing the observations) continues from the
     clean prefix with results identical to an uninterrupted run.
+
+    ``mesh`` shards the particle axis over mesh axis ``axis`` (round 4,
+    closing "streaming and sharding don't compose"): each chunk runs
+    the shard_map'd exp-space scan with the collective resample ops of
+    ``parallel.resampling`` (the carry stays device-resident and
+    sharded across chunks); history blocks arrive host-side already
+    gathered, and checkpoints/halt snapshots hold the global [N, d]
+    carry, so a sharded streaming run can resume on any mesh shape.
+    Requires the packed layout and a model with packed methods.
     """
     from cusmc_tpu.models.base import supports_packed
 
     resampler_kwargs = resampler_kwargs or {}
     if layout == "packed" and not supports_packed(model):
         layout = "batch"
-    if layout == "packed":
-        resample_op = packed_resample_op(resampler, num_particles,
-                                         **resampler_kwargs)
-        propagate_fn = model.propagate_packed
-        logpdf_fn = model.observation_logpdf_packed
-    else:
-        res_fn = get_resampler(resampler, **resampler_kwargs)
-        resample_op = local_resample_op(res_fn, num_particles)
-        propagate_fn = model.propagate
-        logpdf_fn = model.observation_logpdf
-    step = _step_factory(propagate_fn, logpdf_fn, resample_op, ess_threshold,
-                         num_particles, axis_name=None, return_history=True)
     dtype = model.G.dtype
     d = model.state_dim
     num_steps = ys.shape[0]
-
-    @jax.jit
-    def run_chunk(carry, ts, ys_chunk):
-        return lax.scan(step, carry, (ts, ys_chunk))
-
     packed = layout == "packed"
+
+    wdtype = jnp.promote_types(dtype, jnp.float32)
+    exp_carry = False
+    if mesh is not None:
+        if not packed:
+            raise ValueError("sharded streaming requires the packed "
+                             "layout (a model with packed methods)")
+        run_chunk, init_sharded, wdtype = _sharded_chunk_runner(
+            model, num_particles, mesh, axis, resampler,
+            resampler_kwargs, ess_threshold)
+        exp_carry = True
+    else:
+        from cusmc_tpu.resampling.classic import POSITION_FNS
+        from cusmc_tpu.smc.particle_filter import packed_exp_resample_op
+
+        fast = packed and (resampler in ("metropolis", "residual")
+                           or resampler in POSITION_FNS)
+        if fast:
+            # Same exp-space fast factory as the one-shot filter: the
+            # chunked scan stays bitwise-identical to bootstrap_filter
+            # (keys fold by absolute t).
+            exp_op = packed_exp_resample_op(resampler, num_particles,
+                                            **resampler_kwargs)
+            step = _fast_exp_step_factory(
+                model.propagate_packed, model.observation_logpdf_packed,
+                num_particles, exp_op, ess_threshold, None,
+                return_history=True)
+            exp_carry = True
+        else:
+            if packed:
+                resample_op = packed_resample_op(resampler, num_particles,
+                                                 **resampler_kwargs)
+                propagate_fn = model.propagate_packed
+                logpdf_fn = model.observation_logpdf_packed
+            else:
+                res_fn = get_resampler(resampler, **resampler_kwargs)
+                resample_op = local_resample_op(res_fn, num_particles)
+                propagate_fn = model.propagate
+                logpdf_fn = model.observation_logpdf
+            step = _step_factory(propagate_fn, logpdf_fn, resample_op,
+                                 ess_threshold, num_particles,
+                                 axis_name=None, return_history=True)
+
+        @jax.jit
+        def run_chunk(carry, ts, ys_chunk):
+            return lax.scan(step, carry, (ts, ys_chunk))
+
     k_init, k_scan = jax.random.split(key)
-    if packed:
+    if mesh is not None:
+        x0, w0 = init_sharded(k_init)
+        carry = (x0, w0, k_scan)
+    elif packed:
         x0 = model.sample_initial_packed(k_init, num_particles)
+        if exp_carry:
+            carry = (x0, jnp.ones((num_particles,), wdtype), k_scan)
+        else:
+            carry = (x0, jnp.full((num_particles,),
+                                  -math.log(num_particles), dtype), k_scan)
     else:
         x0 = model.sample_initial(k_init, (num_particles,))
-    logw0 = jnp.full((num_particles,), -math.log(num_particles), dtype)
-    carry = (x0, logw0, k_scan)
+        logw0 = jnp.full((num_particles,), -math.log(num_particles), dtype)
+        carry = (x0, logw0, k_scan)
     log_evidence = 0.0
     t = 1
 
@@ -116,15 +231,40 @@ def streaming_bootstrap_filter(
         if checkpoint is None:
             raise ValueError("resume=True requires a checkpoint")
         snap = checkpoint.restore()
-        # Checkpoints store particles in public [N, d] layout.
+        # Checkpoints store particles in public [N, d] layout and log
+        # weights (mesh-shape-independent: a sharded run can resume on
+        # any mesh, or unsharded).
         x_r = snap["particles"].astype(dtype)
-        carry = (x_r.T if packed else x_r,
-                 snap["log_weights"].astype(dtype), snap["key"])
+        logw_r = snap["log_weights"]
+        if exp_carry:
+            w_r = jnp.exp(jnp.asarray(logw_r, wdtype)
+                          - jnp.max(jnp.asarray(logw_r, wdtype)))
+            carry = (x_r.T, w_r, snap["key"])
+        else:
+            carry = (x_r.T if packed else x_r,
+                     logw_r.astype(dtype), snap["key"])
         log_evidence = snap["log_evidence"]
         t = snap["t"] + 1
 
     def to_rows(x):  # carry layout -> public [N, d]
         return np.asarray(x, np.float32).T if packed else np.asarray(x, np.float32)
+
+    def carry_logw(wv):
+        """Carry weights -> normalized log weights (checkpoint/public
+        form); the sharded carry is exp-space."""
+        if not exp_carry:
+            return wv
+        w_np = np.asarray(wv, np.float64)
+        with np.errstate(divide="ignore"):
+            return jnp.asarray(np.log(w_np) - np.log(w_np.sum()),
+                               wdtype)
+
+    def carry_ess(wv):
+        if not exp_carry:
+            return np.asarray(effective_sample_size(wv))
+        w_np = np.asarray(wv, np.float64)
+        return np.asarray(w_np.sum() ** 2 / (w_np * w_np).sum(),
+                          np.float32)
 
     store = None
     if store_particles:
@@ -144,7 +284,7 @@ def streaming_bootstrap_filter(
         store.start_step = t - 1
         store.append(to_rows(carry[0])[None])
 
-    ess_all = [np.asarray(effective_sample_size(carry[1]))[None]]
+    ess_all = [carry_ess(carry[1])[None]]
     ys = np.asarray(ys)
     next_ckpt = None
     if checkpoint is not None:
@@ -160,16 +300,20 @@ def streaming_bootstrap_filter(
         if halt_on_nonfinite:
             lw_np = np.asarray(carry[1])
             lz_np = np.asarray(lzs)
-            bad = (np.isnan(lw_np).any() or np.all(np.isneginf(lw_np))
-                   or not np.isfinite(lz_np).all())
+            if exp_carry:  # exp-space carry: degenerate == all 0
+                w_bad = np.isnan(lw_np).any() or not lw_np.any()
+            else:
+                w_bad = (np.isnan(lw_np).any()
+                         or np.all(np.isneginf(lw_np)))
+            bad = w_bad or not np.isfinite(lz_np).all()
             if bad:
                 from cusmc_tpu.utils.debug import FilterDivergedError
 
                 snap = None
                 if checkpoint is not None:
-                    x_g, logw_g, key_g = prev_carry
-                    snap = checkpoint.save(prev_t - 1, to_rows(x_g), logw_g,
-                                           key_g, prev_le)
+                    x_g, w_g, key_g = prev_carry
+                    snap = checkpoint.save(prev_t - 1, to_rows(x_g),
+                                           carry_logw(w_g), key_g, prev_le)
                 raise FilterDivergedError(
                     f"non-finite filter state in steps "
                     f"[{prev_t}, {prev_t + k}); last good step "
@@ -183,16 +327,17 @@ def streaming_bootstrap_filter(
         log_evidence += float(jnp.sum(lzs))
         t += k
         if next_ckpt is not None and t - 1 >= next_ckpt:
-            x_c, logw_c, key_c = carry
-            checkpoint.save(t - 1, to_rows(x_c), logw_c, key_c, log_evidence)
+            x_c, w_c, key_c = carry
+            checkpoint.save(t - 1, to_rows(x_c), carry_logw(w_c), key_c,
+                            log_evidence)
             next_ckpt = t - 1 + checkpoint_every
 
-    x_f, logw_f, _ = carry
+    x_f, w_f, _ = carry
     if packed:
         x_f = x_f.T
     result = FilterResult(
         final_particles=x_f,
-        final_log_weights=logw_f,
+        final_log_weights=carry_logw(w_f),
         ess=jnp.asarray(np.concatenate(ess_all)),
         log_evidence=jnp.asarray(log_evidence),
     )

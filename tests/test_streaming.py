@@ -87,3 +87,71 @@ def test_snapshot_and_halt_then_resume(tmp_path, key):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(float(resumed.log_evidence),
                                float(full.log_evidence), rtol=1e-5)
+
+
+def test_sharded_streaming_matches_sharded_oneshot(key):
+    # Round 4 (streaming x sharding): the mesh-sharded chunked scan must
+    # reproduce the one-shot sharded filter exactly (same exp-space step
+    # and collective ops; keys fold by absolute t).
+    from cusmc_tpu.parallel import make_mesh, sharded_bootstrap_filter
+
+    params = demo_model_params()
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys = load_y_sim()[:61]
+    n = 512
+    mesh = make_mesh({"particles": 8})
+
+    oneshot = sharded_bootstrap_filter(
+        key, model, jnp.asarray(ys, jnp.float32), n, mesh,
+        resampler="systematic", return_history=False)
+    streamed, store = streaming_bootstrap_filter(
+        key, model, ys, n, chunk_steps=13, resampler="systematic",
+        mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(streamed.final_particles),
+                               np.asarray(oneshot.final_particles),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(streamed.log_evidence),
+                               float(oneshot.log_evidence), rtol=1e-5)
+    assert store.size == 61
+    assert store.view().shape == (61, n, 2)
+
+
+def test_sharded_streaming_snapshot_halt_resume(tmp_path, key):
+    # The failure guard now protects the DISTRIBUTED filter too: NaN
+    # observations mid-run -> snapshot-and-halt with the gathered global
+    # carry; resume (on the same mesh) off clean data completes.
+    import pytest
+
+    from cusmc_tpu.checkpoint import FilterCheckpoint
+    from cusmc_tpu.parallel import make_mesh
+    from cusmc_tpu.utils.debug import FilterDivergedError
+
+    params = demo_model_params()
+    model = DLM.create(noise="mvn", dtype=jnp.float32, **params)
+    ys = np.asarray(load_y_sim()[:81], np.float32)
+    mesh = make_mesh({"particles": 8})
+    n = 256
+
+    bad = ys.copy()
+    bad[50:] = np.nan
+    ckpt = FilterCheckpoint(str(tmp_path / "shard_snap"), use_orbax=False)
+    with pytest.raises(FilterDivergedError) as ei:
+        streaming_bootstrap_filter(key, model, bad, n, chunk_steps=16,
+                                   resampler="systematic", mesh=mesh,
+                                   checkpoint=ckpt)
+    assert ei.value.snapshot is not None
+
+    resumed, _ = streaming_bootstrap_filter(
+        key, model, ys, n, chunk_steps=16, resampler="systematic",
+        mesh=mesh, checkpoint=ckpt, resume=True)
+    clean, _ = streaming_bootstrap_filter(
+        key, model, ys, n, chunk_steps=16, resampler="systematic",
+        mesh=mesh)
+    # Resume restarts from the last good chunk boundary; the completed
+    # run must agree with the uninterrupted one.
+    np.testing.assert_allclose(float(resumed.log_evidence),
+                               float(clean.log_evidence), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(resumed.final_particles),
+                               np.asarray(clean.final_particles),
+                               rtol=1e-5, atol=1e-5)

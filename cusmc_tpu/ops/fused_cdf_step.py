@@ -63,6 +63,28 @@ from cusmc_tpu.ops.fused_step import (
 from cusmc_tpu.ops.monotone_gather import FOLD, _phase_b, _select_rows
 from cusmc_tpu.ops.random import MAX_INTEGER_DF
 
+
+def _mt_gamma_fold(alpha, bits, qrows, dtype=jnp.float32):
+    """Fixed-round Marsaglia-Tsang Gamma(alpha) in fold layout: ``bits``
+    [3 * _MT_ROUNDS * qrows, FOLD] -> [qrows, FOLD] (ops/fused_step's
+    ``_mt_gamma`` operates on [*, tile] rows; this variant keeps the
+    walk's [qrows, FOLD] layout so no relayout is needed)."""
+    dd = alpha - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * dd)
+    accepted = jnp.zeros((qrows, FOLD), jnp.bool_)
+    out = jnp.broadcast_to(alpha.astype(dtype), (qrows, FOLD))
+    for i in range(_MT_ROUNDS):
+        b = bits[3 * i * qrows:(3 * i + 3) * qrows]
+        x = _to_normals(b[:qrows], b[qrows:2 * qrows], dtype)
+        v = (1.0 + c * x) ** 3
+        u = _to_uniform(b[2 * qrows:], dtype)
+        ok = (v > 0.0) & (jnp.log(u) < 0.5 * x * x + dd - dd * v
+                          + dd * jnp.log(jnp.where(v > 0.0, v, 1.0)))
+        take = ok & ~accepted
+        out = jnp.where(take, dd.astype(dtype) * v, out)
+        accepted |= ok
+    return out
+
 DEFAULT_TILE = 4096
 DEFAULT_SROWS = 8   # window fold rows (one vreg): phase-B select chains
                     # cost srows gathers/round, the walk absorbs span
@@ -74,6 +96,15 @@ def _fused_cdf_kernel(
     srows_ref,    # [nb] int32 first window fold-row per block
     wcnt_ref,     # [nb] int32 window count per block
     woff_ref,     # [nb] int32 cumulative window count (DMA slot parity)
+    grows_ref,    # [nb*gpb+1] int32 cdf fold-row of each QUERY-GROUP
+                  # boundary: group gi's sorted queries resolve in rows
+                  # [grows[gi], grows[gi+1]] — the walk gates each
+                  # group's vector work on a SCALAR window-range check,
+                  # so a group touches only its own ~span/sr windows
+                  # (without this the group loop ran phase A on every
+                  # window the block walked: O(groups x windows) per
+                  # block, measured 2.37 ms/step at tile=2048 vs 2.24 at
+                  # 1024 BECAUSE bigger tiles made that product grow)
     # inputs
     cdf_ref,      # [nrows, FOLD] inclusive weight cumsum (ANY/HBM)
     x_ref,        # [d, nrows, FOLD] particles (ANY/HBM)
@@ -147,6 +178,8 @@ def _fused_cdf_kernel(
         uq = sc_ref[0]
     p_all = (g_idx + uq) * sc_ref[1]
 
+    gpb = qrows // 8
+
     def body(w, _):
         slot = lax.rem(base + w, two)
         nxt = lax.rem(base + w + 1, two)
@@ -162,42 +195,55 @@ def _fused_cdf_kernel(
 
         wait(slot, b, w)
         r0 = rows0(b, w)
-        cw = cwin[slot]
-        rm = jnp.take_along_axis(
-            cw, jnp.full((sr, FOLD), FOLD - 1, jnp.int32), axis=1)
-        for g in range(0, qrows, 8):
+        for gi in range(gpb):
+            g = gi * 8
             h = min(8, qrows - g)
-            p = p_all[g:g + h]
-            c = jnp.zeros((h, FOLD), jnp.int32)
-            for r in range(sr):
-                c = c + (rm[r:r + 1, :] <= p).astype(jnp.int32)
-            active = (found[g:g + h, :] == 0) & ((c < sr) | last)
+            # Scalar range gate: this group's queries live in cdf rows
+            # [grows[·], grows[·+1]]; skip windows outside entirely.
+            glo = grows_ref[b * gpb + gi]
+            ghi = grows_ref[b * gpb + gi + 1]
+            in_range = (r0 + sr > glo) & (r0 <= ghi)
 
-            @pl.when(jnp.any(active))
-            def _(p=p, c=c, active=active, g=g, h=h, slot=slot, r0=r0,
-                  cw=cw):
-                c_eff = jnp.minimum(c, sr - 1)
-                masks = [(c_eff == r) & active for r in range(1, sr)]
-                rlow = _phase_b(cw, masks, p)
-                anc = jnp.minimum((r0 + c_eff) * FOLD + rlow, n - 1)
-                anc_ref[0, g:g + h, :] = jnp.where(
-                    active, anc, anc_ref[0, g:g + h, :])
-                for ri in range(d):
-                    v = _select_rows(xwin[slot, ri], masks, rlow)
-                    xa[ri, g:g + h, :] = jnp.where(
-                        active, v, xa[ri, g:g + h, :])
-                found[g:g + h, :] = jnp.where(
-                    active, 1, found[g:g + h, :])
+            @pl.when(in_range | last)
+            def _(g=g, h=h, slot=slot, r0=r0, last=last):
+                cw = cwin[slot]
+                rm = jnp.take_along_axis(
+                    cw, jnp.full((sr, FOLD), FOLD - 1, jnp.int32),
+                    axis=1)
+                p = p_all[g:g + h]
+                c = jnp.zeros((h, FOLD), jnp.int32)
+                for r in range(sr):
+                    c = c + (rm[r:r + 1, :] <= p).astype(jnp.int32)
+                active = (found[g:g + h, :] == 0) & ((c < sr) | last)
+
+                @pl.when(jnp.any(active))
+                def _(p=p, c=c, active=active, g=g, h=h, slot=slot,
+                      r0=r0, cw=cw):
+                    c_eff = jnp.minimum(c, sr - 1)
+                    masks = [(c_eff == r) & active for r in range(1, sr)]
+                    rlow = _phase_b(cw, masks, p)
+                    anc = jnp.minimum((r0 + c_eff) * FOLD + rlow, n - 1)
+                    anc_ref[0, g:g + h, :] = jnp.where(
+                        active, anc, anc_ref[0, g:g + h, :])
+                    for ri in range(d):
+                        v = _select_rows(xwin[slot, ri], masks, rlow)
+                        xa[ri, g:g + h, :] = jnp.where(
+                            active, v, xa[ri, g:g + h, :])
+                    found[g:g + h, :] = jnp.where(
+                        active, 1, found[g:g + h, :])
 
         return 0
 
     lax.fori_loop(0, w_n, body, 0)
 
     # ---- propagate + reweight, fully in-register (ops/fused_step.py
-    # stages, minus the Metropolis part). The [d, qrows, FOLD] -> [d,
-    # tile] reshape is a supported Mosaic relayout (probed exact on
-    # v5e, benchmarks/probe_reshape.py).
-    x_cur = xa[...].reshape(d, tile)
+    # stages, minus the Metropolis part) — all in the [.., qrows, FOLD]
+    # FOLD LAYOUT the walk resolved into: rank-3 dot_general contracts
+    # the d axis without ever relayouting sublanes to lanes (probed
+    # exact on v5e, benchmarks/probe_reshape.py; the reshape-to-[d,tile]
+    # variant measured ~1.5 ms/step of pure relayout at N=1M), and the
+    # fold-shaped outputs reshape to [d, N] for free in HBM.
+    x_cur = xa[...]                       # [d, qrows, FOLD]
     prec = (jax.lax.Precision.HIGHEST
             if max(d, k) <= 8 and x_cur.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -208,40 +254,43 @@ def _fused_cdf_kernel(
             preferred_element_type=jnp.float32, precision=prec)
 
     mean = matvec(G_ref, x_cur)
-    zbits = pltpu.prng_random_bits((2 * d, tile))
-    z = _to_normals(zbits[:d], zbits[d:])
+    zbits = pltpu.prng_random_bits((2 * d * qrows, FOLD))
+    z = _to_normals(zbits[:d * qrows], zbits[d * qrows:]
+                    ).reshape(d, qrows, FOLD)
     qz = matvec(Q_ref, z)
     df = sc_ref[2]
     if noise == "mvt":
         if df_int is not None:
             m, odd = divmod(df_int, 2)
-            cbits = pltpu.prng_random_bits((m + 2 * odd, tile))
+            cbits = pltpu.prng_random_bits(((m + 2 * odd) * qrows, FOLD))
             if m > 0:
-                prod = _to_uniform(cbits[0:1])
+                prod = _to_uniform(cbits[0:qrows])
                 for j in range(1, m):
-                    prod = prod * _to_uniform(cbits[j:j + 1])
+                    prod = prod * _to_uniform(cbits[j * qrows:
+                                                    (j + 1) * qrows])
                 g = -2.0 * jnp.log(jnp.maximum(prod, 1e-38))
             else:
-                g = jnp.zeros((1, tile), jnp.float32)
+                g = jnp.zeros((qrows, FOLD), jnp.float32)
             if odd:
-                zc = _to_normals(cbits[m:m + 1], cbits[m + 1:m + 2])
+                zc = _to_normals(cbits[m * qrows:(m + 1) * qrows],
+                                 cbits[(m + 1) * qrows:(m + 2) * qrows])
                 g = g + zc * zc
         else:
-            gbits = pltpu.prng_random_bits((3 * _MT_ROUNDS, tile))
-            g = 2.0 * _mt_gamma(0.5 * df, gbits)
-        qz = qz * jnp.sqrt(df / g)
-    x_new = mean + qz
-    xo_ref[:, :] = x_new
+            gbits = pltpu.prng_random_bits((3 * _MT_ROUNDS * qrows, FOLD))
+            g = 2.0 * _mt_gamma_fold(0.5 * df, gbits, qrows)
+        qz = qz * jnp.sqrt(df / g)[None]
+    x_new = mean + qz                     # [d, qrows, FOLD]
+    xo_ref[:, 0] = x_new
 
     fx = matvec(F_ref, x_new)
-    resid = y_ref[...] - fx
+    resid = y_ref[...][:, :, None] - fx   # y [k, 1] -> [k, 1, 1] bcast
     zz = matvec(Li_ref, resid)
-    quad = jnp.sum(zz * zz, axis=0, keepdims=True)
+    quad = jnp.sum(zz * zz, axis=0)       # [qrows, FOLD]
     log_norm = sc_ref[3]
     if noise == "mvt":
-        ll_ref[:, :] = log_norm - 0.5 * (df + k) * jnp.log1p(quad / df)
+        ll_ref[0] = log_norm - 0.5 * (df + k) * jnp.log1p(quad / df)
     else:
-        ll_ref[:, :] = log_norm - 0.5 * quad
+        ll_ref[0] = log_norm - 0.5 * quad
 
 
 def _merge_rank_i32(sorted_ref, sorted_queries):
@@ -260,8 +309,8 @@ def cdf_auto_tile(n: int, dk: int) -> int:
     f32 words, so cap tile * d at ~256K lanes; 16K tile floor-capped by
     the grid's fixed per-block cost (fewer, fatter blocks win until the
     walk's window count per block stops amortizing)."""
-    cap = max(262144 // max(dk, 16), 512)
-    t = 512
+    cap = max(262144 // max(dk, 16), 1024)
+    t = 1024  # floor: whole 1024-query phase groups
     while t * 2 <= min(cap, 16384, n // 2) and n % (t * 2) == 0:
         t *= 2
     return t
@@ -289,9 +338,9 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
     k = F.shape[0]
     if tile is None:
         tile = cdf_auto_tile(n, max(d, k))
-    if n % tile != 0 or tile % FOLD != 0:
+    if n % tile != 0 or tile % (8 * FOLD) != 0:
         raise ValueError(f"N={n} must be divisible by tile={tile}, tile "
-                         f"by {FOLD}")
+                         f"by {8 * FOLD} (whole query groups)")
     if n < 2 * sr * FOLD or n % FOLD != 0:
         raise ValueError(f"N={n} too small for the {sr * FOLD}-element "
                          f"window walk")
@@ -314,15 +363,22 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
 
     total = cdf128[-1]
     pscale = total / jnp.float32(n)
-    # Coarse block placement from DETERMINISTIC position bounds: block
-    # b's queries lie in [b*tile*pscale, (b+1)*tile*pscale) regardless
-    # of u (u in [0,1)), with the global upper bound `total` exact —
-    # at most one extra window per block vs exact-query ranks.
-    q = jnp.concatenate([jnp.arange(nb, dtype=jnp.float32) * (tile * pscale),
-                         total[None]])
-    r128 = _merge_rank_i32(cdf128, q)
-    srows = jnp.minimum(r128[:-1], nrows - sr)
-    span = jnp.maximum(jnp.minimum(r128[1:], nrows - 1) - srows, 0)
+    # Coarse placement from DETERMINISTIC position bounds at QUERY-GROUP
+    # granularity (1024 queries = one [8, FOLD] phase group): group gi's
+    # queries lie in [gi*1024*pscale, (gi+1)*1024*pscale) regardless of
+    # u, with the global upper bound `total` exact. Block quantities
+    # derive from the group table (tile is a multiple of 1024), and the
+    # kernel uses the group rows to gate each group's vector work to its
+    # own windows.
+    gq = FOLD * 8
+    ngrp = n // gq
+    gpb = tile // gq
+    q = jnp.concatenate([jnp.arange(ngrp, dtype=jnp.float32)
+                         * (gq * pscale), total[None]])
+    grows = _merge_rank_i32(cdf128, q)          # [ngrp + 1]
+    rb = grows[::gpb]                           # block boundaries [nb+1]
+    srows = jnp.minimum(rb[:-1], nrows - sr)
+    span = jnp.maximum(jnp.minimum(rb[1:], nrows - 1) - srows, 0)
     wcnt = span // sr + 1
     woff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(wcnt)[:-1].astype(jnp.int32)])
@@ -338,7 +394,7 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
 
     mat_spec = pl.BlockSpec(memory_space=None)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # cdf
@@ -351,8 +407,8 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (u, pscale, df, ln)
         ],
         out_specs=[
-            pl.BlockSpec((d, tile), lambda b, *_: (0, b)),
-            pl.BlockSpec((1, tile), lambda b, *_: (0, b)),
+            pl.BlockSpec((d, 1, qrows, FOLD), lambda b, *_: (0, b, 0, 0)),
+            pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
@@ -372,16 +428,17 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((d, n), jnp.float32),
-                jax.ShapeDtypeStruct((1, n), jnp.float32),
+                jax.ShapeDtypeStruct((d, nb, qrows, FOLD), jnp.float32),
+                jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.float32),
                 jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.int32),
             ],
         )
-        return call(seed, srows, wcnt, woff, cf, xf, y2, G, Q, F, Li, sc)
+        return call(seed, srows, wcnt, woff, grows, cf, xf, y2, G, Q, F,
+                    Li, sc)
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             x_new, ll, a = build_and_call()
     else:
         x_new, ll, a = build_and_call()
-    return x_new, ll[0], a.reshape(n)
+    return x_new.reshape(d, n), ll.reshape(n), a.reshape(n)

@@ -224,22 +224,36 @@ def _take_kernel(srows_ref, wcnt_ref, woff_ref, a_ref, x_ref, y_ref,
     lax.fori_loop(0, w_n, body, 0)
 
 
-def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
-                   y_ref, anc_ref, cwin, xwin, found, sems,
-                   *, nb, qrows, d, n):
+def _search_kernel(brow_ref, srows_ref, wcnt_ref, woff_ref, pos_ref,
+                   cdf_ref, x_ref, y_ref, anc_ref, cwin, xwin, found,
+                   sems, *, nb, qrows, d, n, local=False):
     """Merge-path window walk: block b resolves its sorted queries over
     ``wcnt[b]`` consecutive 2048-element windows starting at row
     ``srows[b]``; ``woff[b]`` (cumulative window count) keeps the
     double-buffer slot parity consistent across the dynamic per-block
     loop AND across grid blocks (the last window of block b prefetches
-    block b+1's first window)."""
+    block b+1's first window).
+
+    ``brow_ref[0]`` is the fold row of ``x_ref``'s first column in the
+    GLOBAL index space (0 when x covers the whole cdf): the sharded ring
+    exchange searches the gathered global cdf but holds only its LOCAL
+    [d, L] state block, so x windows load at ``r0 - brow`` (clamped into
+    the local rows) and value writes are additionally masked by whether
+    the resolved ancestor actually lies in the loaded local window —
+    out-of-block slots keep their previous y values and are filled by
+    later ring rounds. ``lrows`` (x_ref's row count) may be < n/128."""
     b = pl.program_id(0)
     nrows = n // FOLD
+    lrows = x_ref.shape[1]
+    brow = brow_ref[0]
 
     def rows0(blk, w):
         # Clamp so the 16-row window stays in bounds; repeated clamped
         # windows near the array end re-resolve nothing (found-mask).
         return jnp.minimum(srows_ref[blk] + w * SROWS, nrows - SROWS)
+
+    def xrows0(blk, w):
+        return jnp.clip(rows0(blk, w) - brow, 0, lrows - SROWS)
 
     def start(slot, blk, w):
         r0 = rows0(blk, w)
@@ -247,7 +261,7 @@ def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
             cdf_ref.at[pl.ds(r0, SROWS), :],
             cwin.at[slot], sems.at[0, slot]).start()
         pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(r0, SROWS), :],
+            x_ref.at[:, pl.ds(xrows0(blk, w), SROWS), :],
             xwin.at[slot], sems.at[1, slot]).start()
 
     def wait(slot, blk, w):
@@ -256,7 +270,7 @@ def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
             cdf_ref.at[pl.ds(r0, SROWS), :],
             cwin.at[slot], sems.at[0, slot]).wait()
         pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(r0, SROWS), :],
+            x_ref.at[:, pl.ds(xrows0(blk, w), SROWS), :],
             xwin.at[slot], sems.at[1, slot]).wait()
 
     w_n = wcnt_ref[b]
@@ -284,6 +298,9 @@ def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
 
         wait(slot, b, w)
         r0 = rows0(b, w)
+        # Local-window row delta: ancestor row (r0 + c_eff) sits at
+        # xwin row (c_eff + delta); 0 in the global (brow=0) case.
+        delta = r0 - brow - xrows0(b, w)
         cw = cwin[slot]
         # Row maxima broadcast across lanes (one const-index gather).
         rm = jnp.take_along_axis(
@@ -303,17 +320,25 @@ def _search_kernel(srows_ref, wcnt_ref, woff_ref, pos_ref, cdf_ref, x_ref,
 
             @pl.when(jnp.any(active))
             def _(p=p, c=c, active=active, g=g, h=h, slot=slot, r0=r0,
-                  cw=cw):
+                  cw=cw, delta=delta):
                 c_eff = jnp.minimum(c, SROWS - 1)
                 masks = [(c_eff == r) & active for r in range(1, SROWS)]
                 rlow = _phase_b(cw, masks, p)
                 anc = jnp.minimum((r0 + c_eff) * FOLD + rlow, n - 1)
                 anc_ref[0, g:g + h, :] = jnp.where(
                     active, anc, anc_ref[0, g:g + h, :])
+                if local:
+                    c_loc = c_eff + delta
+                    hit = active & (c_loc >= 0) & (c_loc < SROWS)
+                    c_loc = jnp.clip(c_loc, 0, SROWS - 1)
+                    vmasks = [(c_loc == r) & hit
+                              for r in range(1, SROWS)]
+                else:  # delta == 0: the x window tracks the cdf window
+                    hit, vmasks = active, masks
                 for ri in range(d):
-                    v = _select_rows(xwin[slot, ri], masks, rlow)
+                    v = _select_rows(xwin[slot, ri], vmasks, rlow)
                     y_ref[ri, 0, g:g + h, :] = jnp.where(
-                        active, v, y_ref[ri, 0, g:g + h, :])
+                        hit, v, y_ref[ri, 0, g:g + h, :])
                 found[g:g + h, :] = jnp.where(
                     active, 1, found[g:g + h, :])
 
@@ -551,7 +576,8 @@ def take_columns(X: jnp.ndarray, a: jnp.ndarray, *,
 def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
                       X: jnp.ndarray, *, cdf128: jnp.ndarray = None,
                       tile: int = SEARCH_TILE,
-                      interpret: bool = False
+                      interpret: bool = False,
+                      local_base=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused inverse-CDF resample: ancestors AND resampled state in one
     kernel pass.
@@ -571,14 +597,32 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
     (``cdf[127::128]``) when the caller already has it
     (``ops/cumsum.blocked_cumsum`` emits it for free), skipping the
     strided-slice pass.
-    """
-    d, n = X.shape
-    if not _use_pallas(d, n, tile, X.dtype, interpret,
-                       tile_max=SWINDOW // 2, window=SWINDOW):
-        a = _merge_rank_ancestors(cdf, positions)
-        return jnp.take(X, a, axis=1), a
 
-    nb = n // tile
+    ``local_base`` (traced int32 scalar, a multiple of 128) switches to
+    the LOCAL-BLOCK mode for the sharded ring exchange: ``cdf`` stays
+    the GLOBAL [N] cumsum, ``positions`` are this shard's [L] queries,
+    and ``X`` is the shard's local [d, L] block holding global columns
+    [local_base, local_base + L). Ancestors come back in GLOBAL indices
+    for every query; resampled values are valid only where the ancestor
+    lies in the local block (the caller masks by that range and fills
+    the rest from later ring rounds).
+    """
+    d, nloc = X.shape
+    n = cdf.shape[0]
+    nq = positions.shape[0]
+    shapes_ok = (nq % tile == 0 and nloc % FOLD == 0
+                 and nloc >= SWINDOW
+                 and (local_base is not None or nloc == n))
+    if not (shapes_ok and _use_pallas(d, n, tile, X.dtype, interpret,
+                                      tile_max=SWINDOW // 2,
+                                      window=SWINDOW)):
+        a = _merge_rank_ancestors(cdf, positions)
+        if local_base is None:
+            return jnp.take(X, a, axis=1), a
+        rel = jnp.clip(a - local_base, 0, nloc - 1)
+        return jnp.take(X, rel, axis=1), a
+
+    nb = nq // tile
     qrows = tile // FOLD
     nrows = n // FOLD
     # Coarse block placement from the 128-STRIDED cdf: r128 = #{k:
@@ -605,9 +649,13 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
 
     cf = cdf.reshape(nrows, FOLD)
     pf = positions.reshape(nb, qrows, FOLD)
-    xf = X.reshape(d, nrows, FOLD)
+    xf = X.reshape(d, nloc // FOLD, FOLD)
+    if local_base is None:
+        brow = jnp.zeros((1,), jnp.int32)
+    else:
+        brow = (jnp.asarray(local_base, jnp.int32) // FOLD)[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, qrows, FOLD), lambda b, *_: (b, 0, 0)),
@@ -630,15 +678,15 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
     def build_and_call():
         call = pl.pallas_call(
             functools.partial(_search_kernel, nb=nb, qrows=qrows, d=d,
-                              n=n),
+                              n=n, local=local_base is not None),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((d, nb, qrows, FOLD), X.dtype),
                 jax.ShapeDtypeStruct((nb, qrows, FOLD), jnp.int32),
             ],
         )
-        y, a = call(srows, wcnt, woff, pf, cf, xf)
-        return y.reshape(d, n), a.reshape(n)
+        y, a = call(brow, srows, wcnt, woff, pf, cf, xf)
+        return y.reshape(d, nq), a.reshape(nq)
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():

@@ -252,21 +252,56 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
     from cusmc_tpu.ops.monotone_gather import take_columns
 
     exp_in = weights == "exp"
-    ancestor_fn = make_sorted_sharded_ancestor_fn(name, axis_name,
-                                                  n_global, n_local,
-                                                  weights=weights)
+    fused_local = name in ("systematic", "stratified", "multinomial")
+    if not fused_local:
+        ancestor_fn = make_sorted_sharded_ancestor_fn(name, axis_name,
+                                                      n_global, n_local,
+                                                      weights=weights)
     num_shards = n_global // n_local
     log_n = math.log(n_global)
     # device s+1 sends to s: after r rounds, device p holds block (p+r)%P.
     perm = [((s + 1) % num_shards, s) for s in range(num_shards)]
 
+    def sorted_positions(key):
+        """This shard's sorted resampling positions in [0, 1)."""
+        slots = _global_slots(n_local, axis_name).astype(jnp.float32)
+        if name == "systematic":
+            u = jax.random.uniform(key, (), jnp.float32)
+            return (slots + u) / n_global
+        if name == "stratified":
+            k = jax.random.fold_in(key, lax.axis_index(axis_name))
+            u = jax.random.uniform(k, (n_local,), jnp.float32)
+            return (slots + u) / n_global
+        from cusmc_tpu.resampling.classic import sorted_uniforms
+
+        k = jax.random.fold_in(key, lax.axis_index(axis_name))
+        return sorted_uniforms(k, n_local, jnp.float32)
+
     def op(key, X, w_or_logw, pred=None):
+        from cusmc_tpu.ops.cumsum import blocked_cumsum
+        from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply
+
         w_g = lax.all_gather(w_or_logw, axis_name, tiled=True)
-        a = ancestor_fn(key, w_g)
+        p = lax.axis_index(axis_name)
+        base0 = p * jnp.int32(n_local)
         slots = _global_slots(n_local, axis_name)
+        if fused_local:
+            # Round-0 fusion: ONE merge-path kernel pass both ranks the
+            # shard's queries in the gathered cdf AND gathers the
+            # ancestors that live in the LOCAL block (local_base mode)
+            # — the round-3 path ran a search kernel, then a separate
+            # take_columns per mined round; at P=1 this is now the same
+            # single kernel as the unsharded fast path.
+            cdf, cdf128 = blocked_cumsum(w_g if exp_in
+                                         else _to_exp(w_g))
+            total = cdf128[-1] if cdf128 is not None else cdf[-1]
+            pos = sorted_positions(key) * total
+            vals0, a = inverse_cdf_apply(cdf, pos, X, cdf128=cdf128,
+                                         local_base=base0)
+        else:
+            a = ancestor_fn(key, w_g)
         if pred is not None:
             a = jnp.where(pred, a, slots)
-        p = lax.axis_index(axis_name)
         # Coverage range (residual's stitched vector is sorted only
         # per family, so use true min/max, not first/last).
         a_min, a_max = jnp.min(a), jnp.max(a)
@@ -280,14 +315,24 @@ def ring_cdf_resample_op(name: str, axis_name: str, n_global: int,
             if pred is not None:
                 need = need & pred
 
-            def mine(out_, blk_=blk, base_=base):
-                rel = jnp.clip(a - base_, 0, n_local - 1)
-                vals = take_columns(blk_, rel)
-                mask = (a >= base_) & (a < base_ + n_local)
-                return jnp.where(mask[None, :], vals, out_)
+            if r == 0 and fused_local:
+                # The fused kernel already gathered in-block ancestors.
+                # pred gating: when skipping, a == slots (all in-block)
+                # but the state must stay X, so the overwrite is gated
+                # on pred too.
+                mask = (a >= base) & (a < base + n_local)
+                sel = mask if pred is None else (mask & pred)
+                out = jnp.where(sel[None, :], vals0, out)
+                mined = mined + need.astype(jnp.int32)
+            else:
+                def mine(out_, blk_=blk, base_=base):
+                    rel = jnp.clip(a - base_, 0, n_local - 1)
+                    vals = take_columns(blk_, rel)
+                    mask = (a >= base_) & (a < base_ + n_local)
+                    return jnp.where(mask[None, :], vals, out_)
 
-            out = lax.cond(need, mine, lambda o: o, out)
-            mined = mined + need.astype(jnp.int32)
+                out = lax.cond(need, mine, lambda o: o, out)
+                mined = mined + need.astype(jnp.int32)
             if r < num_shards - 1:
                 blk = lax.ppermute(blk, axis_name, perm)
 

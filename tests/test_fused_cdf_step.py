@@ -18,7 +18,7 @@ import pytest
 from cusmc_tpu.ops.cumsum import blocked_cumsum
 from cusmc_tpu.ops.fused_cdf_step import fused_cdf_filter_step
 
-D, N, TILE = 2, 4096, 512
+D, N, TILE = 2, 4096, 1024
 
 
 def reference_systematic_ancestors(key, w, n):
@@ -117,9 +117,9 @@ def test_stratified_ancestors_sorted_and_valid(key, wx):
 
 
 def test_multiblock_tiles(key, wx):
-    # Several qrows groups per block (tile=1024 -> 8 query rows).
+    # Several query groups per block (tile=2048 -> 16 query rows).
     w, X = wx
-    x_new, _, a = run_step(key, w, X, tile=1024)
+    x_new, _, a = run_step(key, w, X, tile=2048)
     a_ref, cdf, pos = reference_systematic_ancestors(key, w, N)
     assert_sandwich(np.asarray(a), cdf, pos)
     np.testing.assert_array_equal(np.asarray(x_new),

@@ -100,7 +100,9 @@ def main():
     if prev:
         try:
             with open(prev[-1]) as f:
-                prev_val = json.load(f).get("value")
+                rec = json.load(f)
+            # Driver artifacts nest the bench line under "parsed".
+            prev_val = rec.get("value") or rec.get("parsed", {}).get("value")
             if prev_val:
                 vs = rate / float(prev_val)
         except Exception:

@@ -669,8 +669,13 @@ def bootstrap_filter(
         pallas_tile = auto_tile(num_particles, dk, itemsize)
     # The fused-CDF kernel engine (ops/fused_cdf_step.py) is UNBIASED
     # (exact inverse-CDF positions), so unlike the windowed-Metropolis
-    # kernel it is eligible for auto-selection wherever it measures
-    # faster than the XLA path.
+    # kernel it WOULD be eligible for auto-selection wherever it
+    # measured faster than the XLA path — but the round-4 d-sweep found
+    # no such d (0.80-0.92x of the composed cumsum-kernel -> search-
+    # kernel -> XLA-epilogue pipeline at every d in 2..128; full
+    # per-stage analysis in benchmarks/RESULTS.md "fused UNBIASED
+    # inverse-CDF engine"). auto therefore never selects it;
+    # engine="pallas" is the explicit, on-chip-validated opt-in.
     fused_cdf_ok = (packed and resampler in ("systematic", "stratified")
                     and ess_threshold is None and axis_name is None
                     and resample_op is None and not debug_checks
@@ -687,11 +692,6 @@ def bootstrap_filter(
                 f"df >= 2), N compatible with the window walk")
         use_fused_cdf = True
     if engine == "auto":
-        if fused_cdf_ok:
-            # Measured faster than the XLA path at every d (RESULTS.md
-            # round-4 table) with an identical resampling law, so auto
-            # takes it.
-            use_fused_cdf = True
         # For metropolis, the windowed-Megopolis kernel is FASTER than
         # the XLA path at d>=32 f32 / d>=64 bf16 (RESULTS.md d-sweep),
         # but its windowed proposal mixes over a 2-tile window per step

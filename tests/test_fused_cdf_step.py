@@ -166,10 +166,10 @@ def test_filter_engine_pallas_systematic(key):
     assert np.isfinite(float(res.log_evidence))
 
 
-def test_engine_auto_selects_fused_cdf(key):
-    # auto + systematic + eligible f32 DLM must route to the fused
-    # kernel (the step factory choice is observable via the module
-    # internals).
+def test_fused_cdf_eligibility_predicate(key):
+    # The eligibility predicate gates engine='pallas' CDF mode (auto
+    # never selects this kernel — measured slower than the XLA pipeline
+    # at every d, RESULTS.md round-4 negative result).
     from cusmc_tpu.io.data import demo_model_params
     from cusmc_tpu.models.dlm import DLM
     from cusmc_tpu.smc.particle_filter import _fused_cdf_eligible

@@ -6,8 +6,21 @@ kernel chains (``/root/reference/src/mvn_dist.cu.cpp:33-172,455-668``,
 ``mvt_dist.cu.cpp:63-223,356-571``) WITHOUT the Metropolis finite-sweep
 bias asterisk that keeps ``ops/fused_step.py`` opt-in: systematic /
 stratified inverse-CDF positions are exact, so the resampling law is
-identical to the XLA path's (``resampling/classic.py``) and the kernel
-is eligible for ``engine="auto"``.
+identical to the XLA path's (``resampling/classic.py``).
+
+MEASURED OUTCOME (round 4, benchmarks/RESULTS.md "fused UNBIASED
+inverse-CDF engine"): statistically validated on-chip (Kalman logZ
+323.3 vs oracle 324.0; ancestor law exact) but SLOWER than the
+composed XLA pipeline (blocked-cumsum kernel -> search kernel -> XLA
+epilogue) at every d in 2..128 (0.80-0.92x) — the fusible
+intermediate traffic is only ~0.05 ms/step at d=2 while the walk is
+per-particle compute-bound and the Mosaic epilogue costs ~2x XLA's
+streaming codegen for the same math. ``engine="auto"`` therefore never
+selects this kernel; ``engine="pallas"`` with a CDF resampler is the
+explicit opt-in. The file stays: it is the honest negative-result
+artifact, its local-base search mode powers the sharded ring
+exchange's fused round 0, and its fold-layout epilogue is the pattern
+future fused kernels should copy.
 
 Structure: the merge-path window walk of
 ``ops/monotone_gather._search_kernel`` (per-block dynamic window count
@@ -31,11 +44,10 @@ HBM. The coarse per-block window placement therefore uses the
 DETERMINISTIC position bounds (slot k's position lies in
 [k*pscale, (k+1)*pscale)), costing at most one extra window per block.
 
-Window rows default to 8 (one vreg) instead of the search kernel's 16:
-phase B's per-round lookup is a select-chain over the window's row
-broadcasts, so halving the rows halves the dominant gather work
-(round-3 profiling: ~114K take_along ops/step at N=1M was the search
-kernel's floor); the walk absorbs the doubled window count.
+Window rows (``sr``) default to 8 (one vreg); measured optimum is
+sr=16 / tile=1024 — sr=8 halves phase B's select chains but groups
+straddle more windows, and sr=32 reverses it (RESULTS.md). Query
+groups gate their vector work on prefetched per-group window ranges.
 
 Validated against the XLA fast path and the Kalman oracle in
 tests/test_fused_cdf_step.py and on-chip by
@@ -45,7 +57,6 @@ benchmarks/validate_fused_tpu.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +67,6 @@ from jax.experimental.pallas import tpu as pltpu
 from cusmc_tpu.ops.fused_step import (
     MAX_MXU_DIM,
     _MT_ROUNDS,
-    _mt_gamma,
     _to_normals,
     _to_uniform,
 )
@@ -85,9 +95,10 @@ def _mt_gamma_fold(alpha, bits, qrows, dtype=jnp.float32):
         accepted |= ok
     return out
 
-DEFAULT_TILE = 4096
-DEFAULT_SROWS = 8   # window fold rows (one vreg): phase-B select chains
-                    # cost srows gathers/round, the walk absorbs span
+DEFAULT_TILE = 1024
+DEFAULT_SROWS = 16  # measured optimum (RESULTS.md round-4 sweep):
+                    # sr=8 halves the phase-B chains but doubles window
+                    # straddles; sr=32 reverses it
 
 
 def _fused_cdf_kernel(
@@ -303,17 +314,21 @@ def _merge_rank_i32(sorted_ref, sorted_queries):
 
 
 def cdf_auto_tile(n: int, dk: int) -> int:
-    """Largest power-of-two tile dividing n under the VMEM-informed cap:
-    the block's live set is the double-buffered [2, d, sr, FOLD] windows
-    plus [d, tile] each for xa / mean / noise / output — ~5 * d * tile
-    f32 words, so cap tile * d at ~256K lanes; 16K tile floor-capped by
-    the grid's fixed per-block cost (fewer, fatter blocks win until the
-    walk's window count per block stops amortizing)."""
-    cap = max(262144 // max(dk, 16), 1024)
-    t = 1024  # floor: whole 1024-query phase groups
-    while t * 2 <= min(cap, 16384, n // 2) and n % (t * 2) == 0:
+    """Measured-optimum tile per state dimension (RESULTS.md round-4
+    sweep at sr=16: d=2/8 -> 1024, d=16 -> 4096, d=32 -> 2048,
+    d>=64 -> 1024; the kernel is per-particle compute-bound, so bigger
+    tiles buy little and cost VMEM). Falls to the largest 1024-multiple
+    power of two dividing n when the table entry doesn't."""
+    if dk <= 8 or dk > 32:
+        want = 1024
+    elif dk <= 16:
+        want = 4096
+    else:
+        want = 2048
+    t = 1024
+    while t * 2 <= min(want, n // 2) and n % (t * 2) == 0:
         t *= 2
-    return t
+    return t if n % t == 0 else 1024
 
 
 @functools.partial(

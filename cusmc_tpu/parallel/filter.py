@@ -10,7 +10,6 @@ resample op and the axis name differ.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

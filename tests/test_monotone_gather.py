@@ -140,3 +140,58 @@ def test_packed_filter_systematic_uses_new_op(key):
     # ancestors from the fused op must be valid indices
     assert int(res.ancestors.min()) >= 0
     assert int(res.ancestors.max()) < 1024
+
+
+def test_inverse_cdf_apply_local_base(key):
+    # Round 4: local_base mode — search the GLOBAL cdf while applying
+    # against a LOCAL block (the sharded ring exchange's fused round).
+    # Ancestors must be identical to global mode; values must equal the
+    # gather wherever the ancestor falls inside the local block.
+    n_glob = 8192
+    n_loc = 2048
+    kw, kp, kx = jax.random.split(key, 3)
+    w = jax.random.uniform(kw, (n_glob,), jnp.float32, minval=0.01)
+    cdf = jnp.cumsum(w)
+    X_glob = jax.random.normal(kx, (D, n_glob), jnp.float32)
+    for shard in range(4):
+        base = shard * n_loc
+        u = jax.random.uniform(jax.random.fold_in(kp, shard), ())
+        slots = jnp.arange(base, base + n_loc, dtype=jnp.float32)
+        pos = (slots + u) / n_glob * cdf[-1]
+        X_loc = X_glob[:, base:base + n_loc]
+        y, a = inverse_cdf_apply(cdf, pos, X_loc, tile=512,
+                                 interpret=True, local_base=base)
+        a_ref = _merge_rank_ancestors(cdf, pos)
+        # Exact-rank equality is brittle at cdf knot ties (f32 cumsum
+        # is not bitwise monotone): allow off-by-one, and assert the
+        # value gather is SELF-consistent with the returned ancestors.
+        assert (np.abs(np.asarray(a) - np.asarray(a_ref)) <= 1).all()
+        a_np = np.asarray(a)
+        hit = (a_np >= base) & (a_np < base + n_loc)
+        assert hit.any()
+        np.testing.assert_array_equal(
+            np.asarray(y)[:, hit],
+            np.asarray(X_glob)[:, a_np[hit]])
+
+
+def test_inverse_cdf_apply_local_base_concentrated(key):
+    # All mass on one particle OUTSIDE most shards' blocks: ancestors
+    # still exact; no value hits for shards not owning it.
+    n_glob = 8192
+    n_loc = 2048
+    kx = jax.random.fold_in(key, 9)
+    w = jnp.full((n_glob,), 1e-12, jnp.float32).at[100].set(1.0)
+    cdf = jnp.cumsum(w)
+    X_glob = jax.random.normal(kx, (D, n_glob), jnp.float32)
+    for shard in (0, 3):
+        base = shard * n_loc
+        slots = jnp.arange(base, base + n_loc, dtype=jnp.float32)
+        pos = (slots + 0.5) / n_glob * cdf[-1]
+        X_loc = X_glob[:, base:base + n_loc]
+        y, a = inverse_cdf_apply(cdf, pos, X_loc, tile=512,
+                                 interpret=True, local_base=base)
+        a_np = np.asarray(a)
+        assert (a_np == 100).all()
+        if shard == 0:
+            np.testing.assert_array_equal(
+                np.asarray(y), np.asarray(X_glob)[:, a_np])

@@ -359,6 +359,10 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
     if n < 2 * sr * FOLD or n % FOLD != 0:
         raise ValueError(f"N={n} too small for the {sr * FOLD}-element "
                          f"window walk")
+    if n > 1 << 24:
+        raise ValueError(f"N={n} > 2^24: query indices are no longer "
+                         f"exact in f32, breaking the group-bound "
+                         f"coverage guarantee")
     if max(d, k) > MAX_MXU_DIM:
         raise ValueError(f"fused cdf step supports d,k <= {MAX_MXU_DIM}")
     if mode not in ("systematic", "stratified"):
@@ -379,17 +383,25 @@ def fused_cdf_filter_step(key, cdf, cdf128, X, y_t, G, Q, F, Li, df,
     total = cdf128[-1]
     pscale = total / jnp.float32(n)
     # Coarse placement from DETERMINISTIC position bounds at QUERY-GROUP
-    # granularity (1024 queries = one [8, FOLD] phase group): group gi's
-    # queries lie in [gi*1024*pscale, (gi+1)*1024*pscale) regardless of
-    # u, with the global upper bound `total` exact. Block quantities
-    # derive from the group table (tile is a multiple of 1024), and the
-    # kernel uses the group rows to gate each group's vector work to its
-    # own windows.
+    # granularity (1024 queries = one [8, FOLD] phase group). The bound
+    # values are computed with the SAME single-rounding f32 product the
+    # kernel uses for its positions — fl(g * pscale) with g = group
+    # start, exactly fl((g + u) * pscale) at u = 0 — and ranked with the
+    # same count-<= semantics the kernel's window counts use
+    # (_merge_rank_i32's stable argsort places a tied query AFTER the
+    # ref value). f32 monotonicity then guarantees every query's true
+    # crossing row lies in [grows[gi], grows[gi+1]] INCLUSIVE, with no
+    # ulp inversion and no tie escape (round-5 advisor finding: the old
+    # fl(gi * fl(gq*pscale)) bounds could invert by an ulp against the
+    # kernel's product and silently force-resolve a boundary query on
+    # the last window). Block quantities derive from the group table
+    # (tile is a multiple of 1024), and the kernel uses the group rows
+    # to gate each group's vector work to its own windows.
     gq = FOLD * 8
     ngrp = n // gq
     gpb = tile // gq
-    q = jnp.concatenate([jnp.arange(ngrp, dtype=jnp.float32)
-                         * (gq * pscale), total[None]])
+    # g values up to n are exact in f32 for n <= 2^24; one multiply.
+    q = (jnp.arange(ngrp + 1, dtype=jnp.float32) * gq) * pscale
     grows = _merge_rank_i32(cdf128, q)          # [ngrp + 1]
     rb = grows[::gpb]                           # block boundaries [nb+1]
     srows = jnp.minimum(rb[:-1], nrows - sr)

@@ -769,9 +769,11 @@ def bootstrap_filter(
     num_steps = ys.shape[0]
     ts = jnp.arange(1, num_steps)
     if use_fused_cdf:
+        from cusmc_tpu.ops.fused_cdf_step import DEFAULT_SROWS
+
         step = _fused_cdf_step_factory(
             model, num_particles, resampler, user_tile,
-            resampler_kwargs.get("sr", 8), return_history,
+            resampler_kwargs.get("sr", DEFAULT_SROWS), return_history,
             pallas_interpret)
     elif engine == "pallas":
         num_sweeps = resampler_kwargs.get("num_steps", 10)

@@ -319,6 +319,99 @@ def test_ring_round_gating_pod_scale(mesh, key):
                                   np.asarray(jnp.take(X, a, axis=1)))
 
 
+# ---- round 5: span-bounded exchange ------------------------------------
+
+
+def _count_primitive(jaxpr, name):
+    """Count instances of a primitive anywhere in a (nested) jaxpr."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            n += 1
+        for param in eqn.params.values():
+            inner = getattr(param, "jaxpr", None)
+            if inner is not None:
+                n += _count_primitive(inner, name)
+            if isinstance(param, (list, tuple)):
+                for p_ in param:
+                    inner = getattr(p_, "jaxpr", None)
+                    if inner is not None:
+                        n += _count_primitive(inner, name)
+    return n
+
+
+def test_ring_jaxpr_ppermute_count_is_o_k(mesh, key):
+    # VERDICT round 4 missing #1: the exchange must embed O(K) ppermute
+    # instances, NOT O(P): 2K static bidirectional hops + exactly one
+    # inside the dynamic while-ring body. At K=2 that is 5, regardless
+    # of mesh size (P=8 here; the full-ring fallback would show 7).
+    K = 2
+    op = ring_cdf_resample_op("systematic", AXIS, N, L, ring_window=K)
+
+    def local(key, X, logw):
+        return op(key, X, logw)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(None, AXIS), P(AXIS)),
+                   out_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+                   check_vma=False)
+    jaxpr = jax.make_jaxpr(fn)(key, jnp.zeros((D, N), jnp.float32),
+                               jnp.zeros((N,), jnp.float32))
+    inner = None
+    for eqn in jaxpr.jaxpr.eqns:
+        if "shard_map" in str(eqn.primitive):
+            inner = eqn.params["jaxpr"]
+            break
+    assert inner is not None
+    assert _count_primitive(inner, "ppermute") == 2 * K + 1
+
+
+@pytest.mark.parametrize("name", ["systematic", "stratified",
+                                  "multinomial"])
+def test_ring_far_block_escape_equals_allgather(mesh, key, name):
+    # Adversarial span: ALL weight on the block at forward distance P/2
+    # from every shard's own block — outside the static +-K window, so
+    # every slot's state must arrive through the dynamic while-ring.
+    heavy = 4 * L + 7  # a particle in block 4 (P=8: gap distances 3..5)
+    logw = jnp.full((N,), -40.0).at[heavy].set(0.0)
+    kx, kr = jax.random.split(key)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+
+    ring = ring_cdf_resample_op(name, AXIS, N, L)
+    x_ring, _, a_ring = _run_packed_op(mesh, ring, kr, X, logw)
+    a_ring = np.asarray(a_ring)
+    assert (a_ring == heavy).all()
+    np.testing.assert_array_equal(
+        np.asarray(x_ring), np.asarray(jnp.take(X, jnp.asarray(a_ring),
+                                                axis=1)))
+
+
+def test_ring_wide_span_equals_allgather(mesh, key):
+    # Spans wider than the static window but not concentrated: a comb of
+    # heavy particles across ALL blocks at very unequal weights makes
+    # per-shard ancestor ranges span most of the ring, forcing static
+    # AND dynamic rounds to compose in one step.
+    kx, kr = jax.random.split(key)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    logw = jnp.full((N,), -40.0)
+    # One heavy particle per block, exponentially decaying weight.
+    idx = jnp.arange(NSH) * L + 3
+    logw = logw.at[idx].set(-1.5 * jnp.arange(NSH, dtype=jnp.float32))
+
+    ring = ring_cdf_resample_op("systematic", AXIS, N, L)
+    x_ring, _, a_ring = _run_packed_op(mesh, ring, kr, X, logw)
+
+    ag = allgather_resample_op("systematic", AXIS, N, L)
+    fn = shard_map(lambda k, Xb, lw: ag(k, Xb, lw), mesh=mesh,
+                   in_specs=(P(), P(AXIS, None), P(AXIS)),
+                   out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+                   check_vma=False)
+    x_ag, _, a_ag = fn(kr, X.T, logw)
+
+    np.testing.assert_array_equal(np.asarray(a_ring), np.asarray(a_ag))
+    np.testing.assert_array_equal(np.asarray(x_ring), np.asarray(x_ag.T))
+
+
 # ---- round 4: exp-space sharded weight pipeline ------------------------
 
 

@@ -452,6 +452,23 @@ def test_exp_metropolis_matches_log(mesh, key):
     assert (np.asarray(a_l) == np.asarray(a_e)).mean() > 0.999
 
 
+def test_binary_exchange_bitwise_equals_global(mesh, key):
+    # exchange="binary" moves the same candidate blocks by a doubling
+    # ppermute chain instead of dynamic-source switches — pure data
+    # movement with identical key derivation, so EVERY output must be
+    # bitwise equal to exchange="global".
+    kx, kw, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    logw = jax.random.normal(kw, (N,), jnp.float32)
+    op_g = roll_metropolis_sharded_op(AXIS, N, L, exchange="global")
+    op_b = roll_metropolis_sharded_op(AXIS, N, L, exchange="binary")
+    for pred in (None, True):
+        got_g = _run_packed_op(mesh, op_g, kr, X, logw, pred=pred)
+        got_b = _run_packed_op(mesh, op_b, kr, X, logw, pred=pred)
+        for g, b_ in zip(got_g, got_b):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(b_))
+
+
 def test_sharded_residual_deterministic_prefix(mesh, key):
     # The first n_det output slots of residual resampling are
     # key-independent (floor-count grid): the sharded op must reproduce

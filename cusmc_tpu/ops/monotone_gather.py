@@ -138,6 +138,56 @@ def _phase_b(cw, masks, p):
     return rlow
 
 
+def _phase_b_fast(cw, c_eff, active, p):
+    """Two-table in-row bisection — a MEASURED NEGATIVE result kept for
+    the record (round 5; reachable via ``_ablate="fastb"`` and
+    benchmarks/probe_phaseb.py; full analysis in RESULTS.md "phase-B
+    formulations").
+
+    Idea: queries of one fold SUBLANE are 128 consecutive sorted
+    positions, so their boundary rows almost always span <= 2 window
+    rows; materialize each sublane's first boundary row (M) and its
+    successor (M2) once via a select-chain keyed on the per-sublane
+    scalar row r0, making every bisection probe two lane-gathers + one
+    select instead of a 16-row select chain. Exact: returns
+    (rlow, bad) where ``bad`` marks active queries whose row escapes
+    {r0, r0+1}; the caller re-resolves those with the exact chain.
+
+    On-chip, in the composed filter, this measured ~13% SLOWER than
+    the plain chain (systematic 480 vs ~555 Mps tunnel-adjusted): the
+    per-window table build + min-reduce + the data-dependent
+    ``pl.when(any(bad))`` fallback cost more than the probe savings —
+    Mosaic hoists the plain chain's loop-invariant masks, so its
+    effective per-probe cost is far below its op count.
+    """
+    h = p.shape[0]
+    srows = cw.shape[0]
+    c_act = jnp.where(active, c_eff, srows)
+    r0v = jnp.min(c_act, axis=1, keepdims=True)            # [h, 1]
+    sel_hi = c_eff != r0v                                  # row r0+1
+    bad = active & (c_eff > r0v + 1)
+    M = jnp.broadcast_to(cw[0:1, :], (h, FOLD))
+    M2 = jnp.broadcast_to(cw[min(1, srows - 1):
+                             min(1, srows - 1) + 1, :], (h, FOLD))
+    for r in range(1, srows):
+        m_r = r0v == r
+        M = jnp.where(m_r, jnp.broadcast_to(cw[r:r + 1, :],
+                                            (h, FOLD)), M)
+        r2 = min(r + 1, srows - 1)
+        M2 = jnp.where(m_r, jnp.broadcast_to(cw[r2:r2 + 1, :],
+                                             (h, FOLD)), M2)
+    rlow = jnp.zeros((h, FOLD), jnp.int32)
+    k = FOLD
+    while k > 1:
+        k //= 2
+        gi = rlow + (k - 1)
+        v = jnp.where(sel_hi,
+                      jnp.take_along_axis(M2, gi, axis=1),
+                      jnp.take_along_axis(M, gi, axis=1))
+        rlow = jnp.where(v <= p, rlow + k, rlow)
+    return rlow, bad
+
+
 def _select_rows(xw_r, masks, rlow):
     """Apply lookup at (boundary row, rlow) via the same masks: xw_r
     [srows, FOLD] one state dimension's window fold -> [h, FOLD]."""
@@ -226,7 +276,8 @@ def _take_kernel(srows_ref, wcnt_ref, woff_ref, a_ref, x_ref, y_ref,
 
 def _search_kernel(brow_ref, srows_ref, wcnt_ref, woff_ref, pos_ref,
                    cdf_ref, x_ref, y_ref, anc_ref, cwin, xwin, found,
-                   sems, *, nb, qrows, d, n, local=False):
+                   rb, sems, *, nb, qrows, d, n, local=False,
+                   ablate=None):
     """Merge-path window walk: block b resolves its sorted queries over
     ``wcnt[b]`` consecutive 2048-element windows starting at row
     ``srows[b]``; ``woff[b]`` (cumulative window count) keeps the
@@ -323,7 +374,27 @@ def _search_kernel(brow_ref, srows_ref, wcnt_ref, woff_ref, pos_ref,
                   cw=cw, delta=delta):
                 c_eff = jnp.minimum(c, SROWS - 1)
                 masks = [(c_eff == r) & active for r in range(1, SROWS)]
-                rlow = _phase_b(cw, masks, p)
+                if ablate == "b":
+                    # Measurement-only (benchmarks/probe_phaseb.py):
+                    # skip the in-row bisection to bound what ANY
+                    # cheaper lane-rank scheme could save. WRONG lane.
+                    rlow = jnp.zeros((h, FOLD), jnp.int32)
+                elif ablate == "fastb":
+                    # Measurement-only: the round-5 two-table bisection
+                    # (measured a NET LOSS in the composed filter —
+                    # RESULTS.md "phase-B formulations").
+                    rlow_f, bad = _phase_b_fast(cw, c_eff, active, p)
+                    rb[0:h, :] = rlow_f
+
+                    @pl.when(jnp.any(bad))
+                    def _(bad=bad, cw=cw, masks=masks, p=p, h=h):
+                        rb[0:h, :] = jnp.where(bad,
+                                               _phase_b(cw, masks, p),
+                                               rb[0:h, :])
+
+                    rlow = rb[0:h, :]
+                else:
+                    rlow = _phase_b(cw, masks, p)
                 anc = jnp.minimum((r0 + c_eff) * FOLD + rlow, n - 1)
                 anc_ref[0, g:g + h, :] = jnp.where(
                     active, anc, anc_ref[0, g:g + h, :])
@@ -335,10 +406,11 @@ def _search_kernel(brow_ref, srows_ref, wcnt_ref, woff_ref, pos_ref,
                               for r in range(1, SROWS)]
                 else:  # delta == 0: the x window tracks the cdf window
                     hit, vmasks = active, masks
-                for ri in range(d):
-                    v = _select_rows(xwin[slot, ri], vmasks, rlow)
-                    y_ref[ri, 0, g:g + h, :] = jnp.where(
-                        hit, v, y_ref[ri, 0, g:g + h, :])
+                if ablate != "sel":  # "sel": probe-only, skip apply
+                    for ri in range(d):
+                        v = _select_rows(xwin[slot, ri], vmasks, rlow)
+                        y_ref[ri, 0, g:g + h, :] = jnp.where(
+                            hit, v, y_ref[ri, 0, g:g + h, :])
                 found[g:g + h, :] = jnp.where(
                     active, 1, found[g:g + h, :])
 
@@ -577,7 +649,7 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
                       X: jnp.ndarray, *, cdf128: jnp.ndarray = None,
                       tile: int = SEARCH_TILE,
                       interpret: bool = False,
-                      local_base=None
+                      local_base=None, _ablate=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused inverse-CDF resample: ancestors AND resampled state in one
     kernel pass.
@@ -671,6 +743,7 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
             pltpu.VMEM((2, SROWS, FOLD), cdf.dtype),
             pltpu.VMEM((2, d, SROWS, FOLD), X.dtype),
             pltpu.VMEM((qrows, FOLD), jnp.int32),
+            pltpu.VMEM((8, FOLD), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -678,7 +751,8 @@ def inverse_cdf_apply(cdf: jnp.ndarray, positions: jnp.ndarray,
     def build_and_call():
         call = pl.pallas_call(
             functools.partial(_search_kernel, nb=nb, qrows=qrows, d=d,
-                              n=n, local=local_base is not None),
+                              n=n, local=local_base is not None,
+                              ablate=_ablate),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((d, nb, qrows, FOLD), X.dtype),

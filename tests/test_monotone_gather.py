@@ -195,3 +195,31 @@ def test_inverse_cdf_apply_local_base_concentrated(key):
         if shard == 0:
             np.testing.assert_array_equal(
                 np.asarray(y), np.asarray(X_glob)[:, a_np])
+
+
+def test_inverse_cdf_apply_fastb_matches_default(key):
+    # The two-table phase-B variant (kept for the record after its
+    # measured composed-filter loss, RESULTS.md) must stay EXACT:
+    # identical ancestors/values to the production chain, including the
+    # >2-row-span fallback (concentrated comb forces it).
+    from cusmc_tpu.ops.monotone_gather import inverse_cdf_apply
+
+    n = 8192
+    kx, kw = jax.random.split(key)
+    X = jax.random.normal(kx, (D, n), jnp.float32)
+    for tag, w in (
+        ("healthy", jnp.exp(0.5 * jax.random.normal(kw, (n,),
+                                                    jnp.float32))),
+        ("comb", jnp.full((n,), 1e-12,
+                          jnp.float32).at[::512].set(1.0)),
+    ):
+        cdf = jnp.cumsum(w)
+        pos = (jnp.arange(n, dtype=jnp.float32) + 0.25) / n * cdf[-1]
+        y0, a0 = inverse_cdf_apply(cdf, pos, X, tile=512,
+                                   interpret=True)
+        y1, a1 = inverse_cdf_apply(cdf, pos, X, tile=512,
+                                   interpret=True, _ablate="fastb")
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1),
+                                      err_msg=tag)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1),
+                                      err_msg=tag)

@@ -181,3 +181,24 @@ def test_fused_cdf_eligibility_predicate(key):
                             state_dtype=jnp.bfloat16, **params)
     assert not _fused_cdf_eligible(model_bf16, 4096)
     assert not _fused_cdf_eligible(model, 1000)  # indivisible N
+
+
+def test_group_bounds_cover_kernel_positions():
+    # Round-5 advisor fix: the host-side group-bound table must bracket
+    # every in-kernel position fl((g + u) * pscale) with count-<= rank
+    # semantics, for ANY u in [0, 1) — guaranteed because the bounds use
+    # the same single-rounding product at u=0 and f32 multiplication is
+    # monotone. Checked here in pure f32 numpy over adversarial totals.
+    rng = np.random.default_rng(7)
+    n = 1 << 14
+    gq = 1024
+    for total in (1e-6, 1.0, 3.7e5, 1e9):
+        pscale = np.float32(total) / np.float32(n)
+        g = np.arange(n, dtype=np.float32)
+        bounds = (np.arange(n // gq + 1, dtype=np.float32) * gq) * pscale
+        for u in (0.0, 1e-7, 0.3, 0.9999999):
+            p = (g + np.float32(u)).astype(np.float32) * pscale
+            p = p.astype(np.float32)
+            gi = (np.arange(n) // gq)
+            assert (p >= bounds[gi]).all(), (total, u)
+            assert (p <= bounds[gi + 1]).all(), (total, u)

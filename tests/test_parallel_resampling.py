@@ -386,6 +386,31 @@ def test_ring_far_block_escape_equals_allgather(mesh, key, name):
                                                 axis=1)))
 
 
+@pytest.mark.parametrize("K", [1, 3, 4])
+def test_ring_window_sizes_equal_allgather(mesh, key, K):
+    # The ring_window knob must not change the law: K=1 (minimal static
+    # window, more while-ring work), K=3 (2K+1=7 < P=8, still
+    # span-bounded), K=4 (2K+1 >= P -> the small-mesh full-ring
+    # fallback) all reproduce the allgather ancestors/state on both
+    # healthy and far-block-concentrated weights.
+    kx, kw, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (D, N), jnp.float32)
+    for logw in (jax.random.normal(kw, (N,), jnp.float32),
+                 jnp.full((N,), -40.0).at[5 * L + 11].set(0.0)):
+        ring = ring_cdf_resample_op("systematic", AXIS, N, L,
+                                    ring_window=K)
+        x_r, _, a_r = _run_packed_op(mesh, ring, kr, X, logw)
+        ag = allgather_resample_op("systematic", AXIS, N, L)
+        fn = shard_map(lambda k, Xb, lw: ag(k, Xb, lw), mesh=mesh,
+                       in_specs=(P(), P(AXIS, None), P(AXIS)),
+                       out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+                       check_vma=False)
+        x_a, _, a_a = fn(kr, X.T, logw)
+        np.testing.assert_array_equal(np.asarray(a_r), np.asarray(a_a))
+        np.testing.assert_array_equal(np.asarray(x_r),
+                                      np.asarray(x_a.T))
+
+
 def test_ring_wide_span_equals_allgather(mesh, key):
     # Spans wider than the static window but not concentrated: a comb of
     # heavy particles across ALL blocks at very unequal weights makes

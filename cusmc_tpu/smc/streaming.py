@@ -14,6 +14,7 @@ is exactly what ``cusmc_tpu.checkpoint`` snapshots (SURVEY.md §5).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -47,11 +48,13 @@ def _host_fetch(x) -> np.ndarray:
             "manually") from e
 
 
+@functools.lru_cache(maxsize=2)
 def _make_halt_pred(exp_carry: bool):
     """One-scalar on-device degeneracy predicate: NaN anywhere, all
     weights collapsed (exp: all zero; log: all -inf), or non-finite
     evidence increments. Only the single bool crosses to the host per
-    chunk."""
+    chunk. Cached per carry mode so repeated filter calls reuse the
+    compiled predicate."""
 
     @jax.jit
     def pred(wv, lzs):

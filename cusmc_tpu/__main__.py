@@ -56,6 +56,17 @@ def _cmd_demo(args) -> int:
     return 0
 
 
+def _build_model(cfg):
+    import jax.numpy as jnp
+
+    from cusmc_tpu.models.dlm import DLM
+
+    m = dict(cfg.model)
+    return DLM.create(noise=cfg.distribution, df=m.pop("df", None),
+                      sqrt_method=cfg.sqrt_method,
+                      dtype=jnp.dtype(cfg.dtype), **m)
+
+
 def _cmd_run(args) -> int:
     import numpy as np
 
@@ -65,25 +76,49 @@ def _cmd_run(args) -> int:
     with open(args.config) as f:
         cfg = FilterConfig.from_dict(json.load(f))
     ys = load_csv(args.data)
+    if args.stream and args.output_dir:
+        print("--stream keeps history out of HBM; use --checkpoint for "
+              "durable state instead of --output-dir", file=sys.stderr)
+        return 2
+    if args.resume and not args.checkpoint:
+        print("--resume requires --checkpoint", file=sys.stderr)
+        return 2
+
+    mesh = None
+    if args.mesh:
+        from cusmc_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"particles": args.mesh})
 
     t0 = time.perf_counter()
-    if args.mesh:
+    if args.stream:
         import jax
         import jax.numpy as jnp
 
-        from cusmc_tpu.models.dlm import DLM
-        from cusmc_tpu.parallel import make_mesh, sharded_bootstrap_filter
+        from cusmc_tpu.smc.streaming import streaming_bootstrap_filter
 
-        m = dict(cfg.model)
-        dtype = jnp.dtype(cfg.dtype)
-        model = DLM.create(noise=cfg.distribution,
-                           df=m.pop("df", None),
-                           sqrt_method=cfg.sqrt_method, dtype=dtype, **m)
-        mesh = make_mesh({"particles": args.mesh})
+        ckpt = None
+        if args.checkpoint:
+            from cusmc_tpu.checkpoint import FilterCheckpoint
+
+            ckpt = FilterCheckpoint(args.checkpoint, use_orbax=False)
+        result, _ = streaming_bootstrap_filter(
+            jax.random.key(cfg.seed), _build_model(cfg),
+            np.asarray(ys, np.dtype(cfg.dtype)), cfg.num_particles,
+            chunk_steps=args.stream, resampler=cfg.resampler,
+            resampler_kwargs=cfg.resampler_kwargs,
+            ess_threshold=cfg.ess_threshold, store_particles=False,
+            checkpoint=ckpt, resume=args.resume, mesh=mesh)
+    elif mesh is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from cusmc_tpu.parallel import sharded_bootstrap_filter
+
         result = sharded_bootstrap_filter(
-            jax.random.key(cfg.seed), model,
-            jnp.asarray(ys, dtype), cfg.num_particles, mesh,
-            resampler=cfg.resampler,
+            jax.random.key(cfg.seed), _build_model(cfg),
+            jnp.asarray(ys, jnp.dtype(cfg.dtype)), cfg.num_particles,
+            mesh, resampler=cfg.resampler,
             resampler_kwargs=cfg.resampler_kwargs,
             ess_threshold=cfg.ess_threshold,
             return_history=cfg.return_history)
@@ -107,6 +142,7 @@ def _cmd_run(args) -> int:
         "timesteps": int(ys.shape[0]),
         "resampler": cfg.resampler,
         "mesh": args.mesh,
+        "stream": args.stream,
         "log_evidence": float(result.log_evidence),
         "final_ess": float(np.asarray(result.ess)[-1]),
         "wall_s": wall,
@@ -141,6 +177,14 @@ def main(argv=None) -> int:
                    help="shard particles over this many local devices")
     r.add_argument("--track", type=int, default=0,
                    help="tracked particle index for the trajectory CSV")
+    r.add_argument("--stream", type=int, default=None, metavar="CHUNK",
+                   help="streaming mode: scan CHUNK steps per device "
+                        "dispatch (long runs; composes with --mesh)")
+    r.add_argument("--checkpoint", default=None,
+                   help="snapshot directory (streaming mode): periodic "
+                        "checkpoints + snapshot-and-halt on divergence")
+    r.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint snapshot")
     r.set_defaults(fn=_cmd_run)
 
     args = parser.parse_args(argv)

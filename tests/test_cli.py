@@ -74,3 +74,29 @@ def test_cli_rejects_unknown_config_keys(tmp_path, cfg_and_data):
     bad.write_text(json.dumps(cfg))
     with pytest.raises(ValueError, match="unknown config keys"):
         main(["run", "--config", str(bad), "--data", datap])
+
+
+def test_cli_stream_checkpoint_resume(tmp_path, capsys, cfg_and_data):
+    cfgp, datap = cfg_and_data
+    ck = str(tmp_path / "snap")
+    assert main(["run", "--config", cfgp, "--data", datap,
+                 "--stream", "8", "--checkpoint", ck, "--mesh", "8"]) == 0
+    first = json.loads(capsys.readouterr().out.strip())
+    assert first["stream"] == 8 and np.isfinite(first["log_evidence"])
+    # Resume from the final snapshot ON THE SAME MESH: the clean prefix
+    # is reused, so the completed run must agree with the uninterrupted
+    # one (the sharded carry folds keys by shard, so resuming on a
+    # different mesh shape is legal but not bitwise-comparable).
+    assert main(["run", "--config", cfgp, "--data", datap,
+                 "--stream", "8", "--checkpoint", ck, "--mesh", "8",
+                 "--resume"]) == 0
+    second = json.loads(capsys.readouterr().out.strip())
+    np.testing.assert_allclose(second["log_evidence"],
+                               first["log_evidence"], rtol=1e-4)
+
+
+def test_cli_stream_rejects_output_dir(tmp_path, cfg_and_data):
+    cfgp, datap = cfg_and_data
+    assert main(["run", "--config", cfgp, "--data", datap,
+                 "--stream", "8",
+                 "--output-dir", str(tmp_path / "o")]) == 2

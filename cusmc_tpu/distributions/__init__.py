@@ -7,12 +7,14 @@ from cusmc_tpu.distributions.base import (
     register_distribution,
 )
 from cusmc_tpu.distributions.mvn import (
+    make_mvn_logprob,
     mvn_logpdf,
     mvn_logpdf_cov,
     mvn_sample,
     mvn_sample_cov,
 )
 from cusmc_tpu.distributions.mvt import (
+    make_mvt_logprob,
     mvt_logpdf,
     mvt_logpdf_cov,
     mvt_sample,
@@ -26,10 +28,12 @@ __all__ = [
     "MVT",
     "make_distribution",
     "register_distribution",
+    "make_mvn_logprob",
     "mvn_logpdf",
     "mvn_logpdf_cov",
     "mvn_sample",
     "mvn_sample_cov",
+    "make_mvt_logprob",
     "mvt_logpdf",
     "mvt_logpdf_cov",
     "mvt_sample",

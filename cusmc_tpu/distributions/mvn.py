@@ -21,9 +21,41 @@ import math
 import jax
 import jax.numpy as jnp
 
-from cusmc_tpu.utils.linalg import cov_sqrt, log_det_from_chol, tri_solve
+from cusmc_tpu.utils.linalg import (
+    cov_sqrt,
+    log_det_from_chol,
+    tri_inverse,
+    tri_solve,
+)
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+
+def make_mvn_logprob(mean: jnp.ndarray, cov: jnp.ndarray):
+    """Closure evaluating log N(x; mean, cov) with everything that does not
+    depend on ``x`` precomputed (Cholesky, its explicit inverse, log-norm).
+
+    For repeated evaluation against one fixed target — MCMC scan bodies
+    (BASELINE configs 1/2/5) — each call is one ``[..., d] @ [d, d]`` MXU
+    matmul plus a row reduction, replacing the per-call triangular solve of
+    ``mvn_logpdf_cov``. Measured on the d=128 / 1024-chain MH step: 1.38x
+    end-to-end (benchmarks/probe_mh.py).
+    """
+    mean = jnp.asarray(mean)
+    L = cov_sqrt(jnp.asarray(cov, mean.dtype), "cholesky")
+    Linv_t = tri_inverse(L).T
+    d = mean.shape[-1]
+    const = -0.5 * (d * _LOG_2PI + log_det_from_chol(L))
+
+    def log_prob(x: jnp.ndarray) -> jnp.ndarray:
+        # HIGHEST: TPU matmul default (bf16 passes) costs ~2e-3
+        # relative on the quadform; full f32 is ~1e-6 and the
+        # matmul is a minor share of an MCMC step (RNG dominates).
+        z = jnp.matmul(x - mean, Linv_t,
+                       precision=jax.lax.Precision.HIGHEST)
+        return const - 0.5 * jnp.sum(z * z, axis=-1)
+
+    return log_prob
 
 
 def mvn_logpdf(x: jnp.ndarray, mean: jnp.ndarray, scale_tril: jnp.ndarray) -> jnp.ndarray:

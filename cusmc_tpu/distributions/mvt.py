@@ -24,7 +24,46 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-from cusmc_tpu.utils.linalg import cov_sqrt, log_det_from_chol, tri_solve
+from cusmc_tpu.utils.linalg import (
+    cov_sqrt,
+    log_det_from_chol,
+    tri_inverse,
+    tri_solve,
+)
+
+
+def make_mvt_logprob(mean: jnp.ndarray, cov: jnp.ndarray, df):
+    """Closure evaluating log MVT(x; mean, cov, df) with the Cholesky
+    factor, its explicit inverse, and the normalizer precomputed.
+
+    The MCMC-scan analogue of :func:`make_mvn_logprob`: each call is one
+    MXU matmul + row quadform + ``log1p`` instead of a triangular solve.
+    Measured 1.38x on the d=128 / 1024-chain MH step and it compounds with
+    rbg keys to 2.1x (benchmarks/probe_mh.py; RESULTS.md).
+    """
+    mean = jnp.asarray(mean)
+    dt = mean.dtype
+    L = cov_sqrt(jnp.asarray(cov, dt), "cholesky")
+    Linv_t = tri_inverse(L).T
+    d = mean.shape[-1]
+    df = jnp.asarray(df, dt)
+    log_norm = (
+        gammaln(0.5 * (df + d))
+        - gammaln(0.5 * df)
+        - 0.5 * d * (jnp.log(df) + math.log(math.pi))
+        - 0.5 * log_det_from_chol(L)
+    )
+
+    def log_prob(x: jnp.ndarray) -> jnp.ndarray:
+        # HIGHEST: TPU matmul default (bf16 passes) costs ~2e-3
+        # relative on the quadform; full f32 is ~1e-6 and the
+        # matmul is a minor share of an MCMC step (RNG dominates).
+        z = jnp.matmul(x - mean, Linv_t,
+                       precision=jax.lax.Precision.HIGHEST)
+        quad = jnp.sum(z * z, axis=-1)
+        return log_norm - 0.5 * (df + d) * jnp.log1p(quad / df)
+
+    return log_prob
 
 
 def mvt_logpdf(x: jnp.ndarray, mean: jnp.ndarray, scale_tril: jnp.ndarray,

@@ -64,6 +64,8 @@ def adaptive_mh_sampler(
     keep_samples: bool = True,
     thin: int = 1,
     axis_name: Optional[str] = None,
+    chol_every: int = 1,
+    noise_dtype: Optional[jnp.dtype] = None,
 ) -> AMResult:
     """Run ``num_steps`` adaptive-Metropolis sweeps over [C, d] chains.
 
@@ -71,9 +73,22 @@ def adaptive_mh_sampler(
     proposal covariance (running pooled moments) and the scalar scale
     (Robbins-Monro) adapt; afterwards both freeze — the kept samples from
     the frozen phase come from a valid Markov chain.
+
+    ``chol_every=k`` refreshes the proposal Cholesky every k sweeps
+    (nested scan: factorize once per block of k) instead of every sweep.
+    The running moments still absorb every sweep; only the FACTOR lags up
+    to k−1 sweeps — standard practice for AM, where the covariance
+    estimate moves slowly, and the d=128 [d, d] Cholesky is a sequential
+    op the TPU pays ~40% of the whole step for (benchmarks/probe_mh.py).
+    ``noise_dtype=jnp.bfloat16`` draws proposal noise in bf16 — exact for
+    this symmetric proposal (see mcmc/metropolis.py).
     """
     if num_adapt is None:
         num_adapt = num_steps // 2
+    if chol_every > 1 and num_steps % chol_every:
+        raise ValueError(
+            f"num_steps={num_steps} must be a multiple of "
+            f"chol_every={chol_every}")
     c, d = init_x.shape
     dtype = init_x.dtype
     sd = 2.38 * 2.38 / d
@@ -88,14 +103,16 @@ def adaptive_mh_sampler(
         log_step=jnp.asarray(jnp.log(step_size), dtype),
         accept_count=jnp.zeros(c, dtype))
 
-    def body(state, t):
+    def _chol(state):
+        return jnp.linalg.cholesky(
+            sd * state.cov + reg_eps * jnp.eye(d, dtype=dtype))
+
+    def sweep(state, t, chol):
         k_t = jax.random.fold_in(key, t)
         kz, ku = jax.random.split(k_t)
         adapting = t < num_adapt
 
-        chol = jnp.linalg.cholesky(
-            sd * state.cov + reg_eps * jnp.eye(d, dtype=dtype))
-        z = jax.random.normal(kz, (c, d), dtype)
+        z = jax.random.normal(kz, (c, d), noise_dtype or dtype).astype(dtype)
         x_prop = state.x + jnp.exp(state.log_step) * (z @ chol.T)
         logp_prop = log_prob(x_prop)
         log_u = jnp.log(jax.random.uniform(ku, (c,), dtype))
@@ -127,7 +144,22 @@ def adaptive_mh_sampler(
         out = (x_new,) if keep_samples else ((),)
         return new_state, out
 
-    final, outs = lax.scan(body, state, jnp.arange(num_steps))
+    if chol_every == 1:
+        def body(state, t):
+            return sweep(state, t, _chol(state))
+
+        final, outs = lax.scan(body, state, jnp.arange(num_steps))
+    else:
+        def block(state, b):
+            chol = _chol(state)
+            return lax.scan(
+                lambda st, i: sweep(st, b * chol_every + i, chol),
+                state, jnp.arange(chol_every))
+
+        final, outs = lax.scan(block, state,
+                               jnp.arange(num_steps // chol_every))
+        outs = jax.tree_util.tree_map(
+            lambda a: a.reshape((num_steps,) + a.shape[2:]), outs)
     samples = None
     if keep_samples:
         (xs,) = outs

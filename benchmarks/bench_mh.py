@@ -26,6 +26,7 @@ import numpy as np
 from cusmc_tpu.distributions import make_mvt_logprob
 from cusmc_tpu.mcmc import (
     adaptive_mh_sampler,
+    parallel_tempering_sampler,
     hmc_sampler,
     mala_sampler,
     metropolis_hastings_sampler,
@@ -62,13 +63,22 @@ def main():
             return lambda k: mala_sampler(
                 k, log_prob, init, steps, step_size=0.3,
                 adapt_rate=0.05, keep_samples=False), 1
+        if name == "pt":
+            # R=8 rungs x C/8 chains: same total replica count as the
+            # other samplers, so chain-steps/s is comparable.
+            pt_init = jax.random.normal(jax.random.key(1),
+                                        (chains // 8, d), jnp.float32)
+            return lambda k: parallel_tempering_sampler(
+                k, log_prob, pt_init, steps, num_rungs=8, beta_min=0.05,
+                step_size=2.38 / np.sqrt(d), keep_samples=False,
+                noise_dtype=noise), 1
         if name == "hmc":
             return lambda k: hmc_sampler(
                 k, log_prob, init, max(steps // 10, 1), num_leapfrog=10,
                 step_size=0.2, adapt_rate=0.05, keep_samples=False), 10
         raise SystemExit(f"unknown MH_SAMPLER {name!r}")
 
-    names = ["mh", "adaptive", "mala", "hmc"] if which == "all" else [which]
+    names = ["mh", "adaptive", "mala", "hmc", "pt"] if which == "all" else [which]
     for name in names:
         make, stride = build(name)
         n_steps = max(steps // stride, 1)
@@ -87,8 +97,8 @@ def main():
                       f"{chains} chains, pooled adaptation",
             "value": rate,
             "unit": "chain-steps/s",
-            "accept_rate": float(out.accept_rate),
-            "step_size": float(out.step_size),
+            "accept_rate": float(np.asarray(out.accept_rate).mean()),
+            "step_size": float(np.asarray(out.step_size).reshape(-1)[0]),
             "impl": impl,
             "noise": "bf16" if noise is not None else "f32",
         }), flush=True)

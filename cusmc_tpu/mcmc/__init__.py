@@ -13,6 +13,12 @@ from cusmc_tpu.mcmc.mala import (
     mala_sampler,
     mala_step,
 )
+from cusmc_tpu.mcmc.tempering import (
+    PTResult,
+    PTState,
+    geometric_ladder,
+    parallel_tempering_sampler,
+)
 from cusmc_tpu.mcmc.metropolis import (
     MHResult,
     MHState,
@@ -22,6 +28,10 @@ from cusmc_tpu.mcmc.metropolis import (
 )
 
 __all__ = [
+    "PTResult",
+    "PTState",
+    "geometric_ladder",
+    "parallel_tempering_sampler",
     "AMResult",
     "AMState",
     "HMCResult",

@@ -1,6 +1,6 @@
 from cusmc_tpu.parallel.enkf import sharded_ensemble_kalman_filter
 from cusmc_tpu.parallel.filter import sharded_bootstrap_filter
-from cusmc_tpu.parallel.mcmc import sharded_mh_sampler
+from cusmc_tpu.parallel.mcmc import sharded_mh_sampler, sharded_pt_sampler
 from cusmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
     PARTICLE_AXIS,
@@ -26,4 +26,5 @@ __all__ = [
     "sharded_bootstrap_filter",
     "sharded_ensemble_kalman_filter",
     "sharded_mh_sampler",
+    "sharded_pt_sampler",
 ]

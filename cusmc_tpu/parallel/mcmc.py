@@ -60,3 +60,55 @@ def sharded_mh_sampler(
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                    out_specs=out_specs, check_vma=False)
     return fn(key, init_x)
+
+
+def sharded_pt_sampler(
+    key: jax.Array,
+    log_prob: Callable,
+    init_x: jnp.ndarray,
+    num_steps: int,
+    mesh: Mesh,
+    axis: str = CHAIN_AXIS,
+    keep_samples: bool = False,
+    **pt_kwargs,
+):
+    """Chain-sharded parallel tempering (mcmc/tempering.py).
+
+    Replica swaps are CHAIN-LOCAL (each chain column swaps its own rung
+    states), so sharding the chain axis needs no state collectives at
+    all — only the pooled per-rung acceptance/swap statistics cross
+    shards, via the sampler's own ``pmean`` over ``axis``. ``init_x``
+    is a global [C, d] (broadcast to every rung) and each shard runs
+    the full rung ladder over its chain slice.
+    """
+    from cusmc_tpu.mcmc.tempering import (
+        PTResult,
+        PTState,
+        parallel_tempering_sampler,
+    )
+
+    c = init_x.shape[0]
+    n_shards = mesh.shape[axis]
+    if c % n_shards != 0:
+        raise ValueError(f"chains={c} not divisible by axis size {n_shards}")
+    if init_x.ndim != 2:
+        raise ValueError("sharded PT takes [C, d] init (rungs broadcast)")
+
+    def local(key, init_local):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return parallel_tempering_sampler(
+            k, log_prob, init_local, num_steps, keep_samples=keep_samples,
+            axis_name=axis, **pt_kwargs)
+
+    out_specs = PTResult(
+        state=PTState(x=P(None, axis), logp=P(None, axis), log_step=P(),
+                      accept_count=P(), swap_count=P()),
+        samples=P(None, axis) if keep_samples else None,
+        accept_rate=P(),
+        swap_rate=P(),
+        step_size=P(),
+        betas=P(),
+    )
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                   out_specs=out_specs, check_vma=False)
+    return fn(key, init_x)

@@ -141,3 +141,38 @@ def test_indivisible_particles_raises(demo, mesh, key):
     _, model, ys = demo
     with pytest.raises(ValueError):
         sharded_bootstrap_filter(key, model, ys[:11], 1001, mesh)
+
+
+def test_sharded_pt_bimodal(key):
+    from cusmc_tpu.parallel import sharded_pt_sampler
+    mesh = make_mesh({"chains": 8})
+    d, chains, steps = 2, 64, 2500
+    sep = 4.0
+
+    def mix(x):
+        a = -0.5 * jnp.sum((x + sep) ** 2, axis=-1)
+        b = -0.5 * jnp.sum((x - sep) ** 2, axis=-1)
+        return jnp.logaddexp(a, b)
+
+    # all chains start in the left mode; only tempering can rebalance
+    init = -sep + 0.5 * jax.random.normal(key, (chains, d), jnp.float32)
+    res = sharded_pt_sampler(key, mix, init, steps, mesh,
+                             keep_samples=True, num_rungs=6,
+                             beta_min=0.02, step_size=0.6)
+    assert res.samples.shape == (steps, chains, d)
+    frac_right = float((np.asarray(res.samples[steps // 2:, :, 0]) > 0)
+                       .mean())
+    assert 0.25 < frac_right < 0.75
+    # per-rung scales replicated across shards; swap stats pooled
+    assert res.step_size.shape == (6,)
+    assert res.swap_rate.shape == (5,)
+    assert np.isfinite(np.asarray(res.swap_rate)).all()
+
+
+def test_sharded_pt_indivisible_raises(key):
+    from cusmc_tpu.parallel import sharded_pt_sampler
+    mesh = make_mesh({"chains": 8})
+    logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    init = jnp.zeros((12, 2), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_pt_sampler(key, logp, init, 10, mesh)

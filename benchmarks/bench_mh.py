@@ -26,6 +26,7 @@ import numpy as np
 from cusmc_tpu.distributions import make_mvt_logprob
 from cusmc_tpu.mcmc import (
     adaptive_mh_sampler,
+    chees_hmc_sampler,
     parallel_tempering_sampler,
     hmc_sampler,
     mala_sampler,
@@ -72,13 +73,17 @@ def main():
                 k, log_prob, pt_init, steps, num_rungs=8, beta_min=0.05,
                 step_size=2.38 / np.sqrt(d), keep_samples=False,
                 noise_dtype=noise), 1
+        if name == "chees":
+            return lambda k: chees_hmc_sampler(
+                k, log_prob, init, max(steps // 10, 1), step_size=0.2,
+                init_traj=2.0, keep_samples=False), 10
         if name == "hmc":
             return lambda k: hmc_sampler(
                 k, log_prob, init, max(steps // 10, 1), num_leapfrog=10,
                 step_size=0.2, adapt_rate=0.05, keep_samples=False), 10
         raise SystemExit(f"unknown MH_SAMPLER {name!r}")
 
-    names = ["mh", "adaptive", "mala", "hmc", "pt"] if which == "all" else [which]
+    names = ["mh", "adaptive", "mala", "hmc", "chees", "pt"] if which == "all" else [which]
     for name in names:
         make, stride = build(name)
         n_steps = max(steps // stride, 1)

@@ -13,6 +13,11 @@ from cusmc_tpu.mcmc.mala import (
     mala_sampler,
     mala_step,
 )
+from cusmc_tpu.mcmc.chees import (
+    ChEESResult,
+    ChEESState,
+    chees_hmc_sampler,
+)
 from cusmc_tpu.mcmc.tempering import (
     PTResult,
     PTState,
@@ -28,6 +33,9 @@ from cusmc_tpu.mcmc.metropolis import (
 )
 
 __all__ = [
+    "ChEESResult",
+    "ChEESState",
+    "chees_hmc_sampler",
     "PTResult",
     "PTState",
     "geometric_ladder",

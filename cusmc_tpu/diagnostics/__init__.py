@@ -1,3 +1,8 @@
+from cusmc_tpu.diagnostics.mcmc import (
+    effective_sample_size_chains,
+    mcmc_summary,
+    split_rhat,
+)
 from cusmc_tpu.diagnostics.metrics import (
     effective_sample_size,
     filter_diagnostics,
@@ -6,6 +11,9 @@ from cusmc_tpu.diagnostics.metrics import (
 )
 
 __all__ = [
+    "effective_sample_size_chains",
+    "mcmc_summary",
+    "split_rhat",
     "effective_sample_size",
     "filter_diagnostics",
     "log_normalize",

@@ -51,6 +51,7 @@ class ChEESState(struct.PyTreeNode):
     log_traj: jnp.ndarray      # scalar: log MEAN trajectory time h
     adam_m: jnp.ndarray        # scalar Adam moments for log_traj
     adam_v: jnp.ndarray
+    var_est: jnp.ndarray       # [d] diagonal mass^-1 (posterior var EMA)
     accept_count: jnp.ndarray  # [C]
 
 
@@ -61,6 +62,7 @@ class ChEESResult(struct.PyTreeNode):
     step_size: jnp.ndarray     # final eps
     traj_length: jnp.ndarray   # final mean trajectory time h
     mean_leapfrog: jnp.ndarray # average leapfrog steps actually taken
+    mass_var: jnp.ndarray      # [d] learned inverse-mass diagonal
 
 
 def _pmean(x, axis_name):
@@ -90,6 +92,8 @@ def chees_hmc_sampler(
     traj_lr: float = 0.05,
     num_adapt: Optional[int] = None,
     max_leapfrog: int = 1000,
+    precondition: bool = True,
+    var_ema: float = 0.1,
     keep_samples: bool = True,
     thin: int = 1,
     axis_name: Optional[str] = None,
@@ -105,6 +109,15 @@ def chees_hmc_sampler(
 
     ``init_traj`` defaults to ``10 * step_size`` (i.e. start near plain
     10-step HMC and let the criterion find the right length).
+
+    ``precondition=True`` (default) learns a diagonal inverse mass
+    matrix online: an EMA (rate ``var_ema``) of the cross-chain
+    per-dimension variance — pooled over the mesh axis when sharded, so
+    more chains mean a better estimate — scales the leapfrog step
+    per dimension (``eps_d = eps * sqrt(var_d)``, the standard
+    equivalence of diagonal-mass HMC with unit momenta). Frozen after
+    ``num_adapt`` like every other adapted quantity, so the post-warmup
+    kernel is exact HMC under a fixed metric.
     """
     if num_adapt is None:
         num_adapt = num_steps // 2
@@ -120,6 +133,7 @@ def chees_hmc_sampler(
         log_step=jnp.asarray(jnp.log(step_size), dtype),
         log_traj=jnp.asarray(jnp.log(init_traj), dtype),
         adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
+        var_est=jnp.ones((d,), dtype),
         accept_count=jnp.zeros((c,), dtype))
 
     b1, b2, aeps = 0.9, 0.95, 1e-8
@@ -136,13 +150,15 @@ def chees_hmc_sampler(
         tau_eff = n_leap.astype(dtype) * eps  # the time actually integrated
 
         p0 = jax.random.normal(kp, (c, d), dtype)
+        # diagonal-mass leapfrog == per-dim step scaling with unit momenta
+        eps_d = eps * jnp.sqrt(state.var_est) if precondition else eps
 
         def leap(_, carry):
             x, p, grad = carry
-            p_half = p + 0.5 * eps * grad
-            x = x + eps * p_half
+            p_half = p + 0.5 * eps_d * grad
+            x = x + eps_d * p_half
             _, grad = vg(x)
-            p = p_half + 0.5 * eps * grad
+            p = p_half + 0.5 * eps_d * grad
             return (x, p, grad)
 
         x_pr, p_pr, grad_pr = lax.fori_loop(
@@ -191,9 +207,18 @@ def chees_hmc_sampler(
         log_step = state.log_step + adapting * adapt_rate * (
             pooled_acc - target_accept)
 
+        if precondition:
+            m1 = _pmean(jnp.mean(x_new, axis=0), axis_name)
+            m2 = _pmean(jnp.mean(x_new * x_new, axis=0), axis_name)
+            bvar = jnp.maximum(m2 - m1 * m1, 1e-8)
+            a_v = adapting * var_ema
+            var_new = (1 - a_v) * state.var_est + a_v * bvar
+        else:
+            var_new = state.var_est
+
         new_state = ChEESState(
             x=x_new, logp=logp_new, grad=grad_new,
-            log_step=log_step, log_traj=log_traj,
+            log_step=log_step, log_traj=log_traj, var_est=var_new,
             adam_m=adapting * m_new + (1 - adapting) * state.adam_m,
             adam_v=adapting * v_new + (1 - adapting) * state.adam_v,
             accept_count=state.accept_count + accept.astype(dtype))
@@ -211,4 +236,5 @@ def chees_hmc_sampler(
         state=final, samples=samples, accept_rate=pooled_rate,
         step_size=jnp.exp(final.log_step),
         traj_length=jnp.exp(final.log_traj),
-        mean_leapfrog=jnp.mean(n_leaps.astype(dtype)))
+        mean_leapfrog=jnp.mean(n_leaps.astype(dtype)),
+        mass_var=final.var_est)

@@ -29,12 +29,29 @@ class TestAdaptation:
         stds = jnp.linspace(1.0, 10.0, d)
         logp = lambda x: -0.5 * jnp.sum((x / stds) ** 2, axis=-1)
         init = stds * jax.random.normal(key, (chains, d), jnp.float32)
+        # precondition=False isolates the trajectory-length mechanism
         res = jax.jit(lambda k: chees_hmc_sampler(
             k, logp, init, steps, step_size=0.3, init_traj=0.6,
-            keep_samples=False))(key)
+            precondition=False, keep_samples=False))(key)
         assert float(res.traj_length) > 3.0          # grew ~5x or more
         assert 0.4 < float(res.accept_rate) < 0.9    # eps adapted too
         assert float(res.mean_leapfrog) > 4.0
+
+    def test_mass_matrix_learns_scales(self, key):
+        # default preconditioning: var_est converges to the target
+        # variances and the trajectory stays short (isotropized space)
+        d, chains, steps = 6, 128, 1200
+        stds = jnp.linspace(1.0, 10.0, d)
+        logp = lambda x: -0.5 * jnp.sum((x / stds) ** 2, axis=-1)
+        init = stds * jax.random.normal(key, (chains, d), jnp.float32)
+        res = jax.jit(lambda k: chees_hmc_sampler(
+            k, logp, init, steps, step_size=0.3, init_traj=0.6,
+            keep_samples=False))(key)
+        ratio = np.asarray(res.mass_var) / np.asarray(stds) ** 2
+        assert (ratio > 0.4).all() and (ratio < 2.5).all()
+        assert 0.4 < float(res.accept_rate) < 0.95
+        # preconditioned space is ~unit-scale: no need for tau ~ 10
+        assert float(res.traj_length) < 6.0
 
     def test_moments_on_anisotropic_gaussian(self, key):
         d, chains, steps = 4, 128, 1500

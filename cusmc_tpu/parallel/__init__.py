@@ -1,6 +1,10 @@
 from cusmc_tpu.parallel.enkf import sharded_ensemble_kalman_filter
 from cusmc_tpu.parallel.filter import sharded_bootstrap_filter
-from cusmc_tpu.parallel.mcmc import sharded_mh_sampler, sharded_pt_sampler
+from cusmc_tpu.parallel.mcmc import (
+    sharded_chees_sampler,
+    sharded_mh_sampler,
+    sharded_pt_sampler,
+)
 from cusmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
     PARTICLE_AXIS,
@@ -25,6 +29,7 @@ __all__ = [
     "replicated",
     "sharded_bootstrap_filter",
     "sharded_ensemble_kalman_filter",
+    "sharded_chees_sampler",
     "sharded_mh_sampler",
     "sharded_pt_sampler",
 ]

@@ -112,3 +112,52 @@ def sharded_pt_sampler(
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                    out_specs=out_specs, check_vma=False)
     return fn(key, init_x)
+
+
+def sharded_chees_sampler(
+    key: jax.Array,
+    log_prob: Callable,
+    init_x: jnp.ndarray,
+    num_steps: int,
+    mesh: Mesh,
+    axis: str = CHAIN_AXIS,
+    keep_samples: bool = False,
+    **chees_kwargs,
+):
+    """Chain-sharded ChEES-HMC (mcmc/chees.py).
+
+    Everything the adaptation needs is a pooled cross-chain expectation
+    (the ChEES gradient's means, the acceptance rate, the diagonal-mass
+    variance EMA) — each becomes one small ``pmean`` per sweep over
+    ``axis``; trajectories are shared by construction, so every shard
+    integrates the same number of leapfrog steps and the program stays
+    SPMD with no load imbalance.
+    """
+    from cusmc_tpu.mcmc.chees import ChEESResult, ChEESState, \
+        chees_hmc_sampler
+
+    c = init_x.shape[0]
+    n_shards = mesh.shape[axis]
+    if c % n_shards != 0:
+        raise ValueError(f"chains={c} not divisible by axis size {n_shards}")
+
+    def local(key, init_local):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return chees_hmc_sampler(
+            k, log_prob, init_local, num_steps, keep_samples=keep_samples,
+            axis_name=axis, **chees_kwargs)
+
+    out_specs = ChEESResult(
+        state=ChEESState(x=P(axis), logp=P(axis), grad=P(axis),
+                         log_step=P(), log_traj=P(), adam_m=P(),
+                         adam_v=P(), var_est=P(), accept_count=P(axis)),
+        samples=P(None, axis) if keep_samples else None,
+        accept_rate=P(),
+        step_size=P(),
+        traj_length=P(),
+        mean_leapfrog=P(),
+        mass_var=P(),
+    )
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                   out_specs=out_specs, check_vma=False)
+    return fn(key, init_x)

@@ -176,3 +176,23 @@ def test_sharded_pt_indivisible_raises(key):
     init = jnp.zeros((12, 2), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         sharded_pt_sampler(key, logp, init, 10, mesh)
+
+
+def test_sharded_chees_pooled_adaptation(key):
+    from cusmc_tpu.parallel import sharded_chees_sampler
+    mesh = make_mesh({"chains": 8})
+    d, chains, steps = 4, 64, 600
+    stds = jnp.asarray([1.0, 2.0, 4.0, 8.0], jnp.float32)
+    logp = lambda x: -0.5 * jnp.sum((x / stds) ** 2, axis=-1)
+    init = stds * jax.random.normal(key, (chains, d), jnp.float32)
+    res = sharded_chees_sampler(key, logp, init, steps, mesh,
+                                keep_samples=True, step_size=0.3,
+                                init_traj=0.6)
+    assert res.samples.shape == (steps, chains, d)
+    # pooled adaptation -> replicated scalars
+    assert res.traj_length.shape == ()
+    assert res.mass_var.shape == (4,)
+    ratio = np.asarray(res.mass_var) / np.asarray(stds) ** 2
+    assert (ratio > 0.3).all() and (ratio < 3.0).all()
+    s = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
+    np.testing.assert_allclose(s.var(0), np.asarray(stds) ** 2, rtol=0.4)

@@ -1,6 +1,8 @@
 from cusmc_tpu.diagnostics.mcmc import (
     effective_sample_size_chains,
+    ess_tail,
     mcmc_summary,
+    rank_normalized_rhat,
     split_rhat,
 )
 from cusmc_tpu.diagnostics.metrics import (
@@ -12,6 +14,8 @@ from cusmc_tpu.diagnostics.metrics import (
 
 __all__ = [
     "effective_sample_size_chains",
+    "ess_tail",
+    "rank_normalized_rhat",
     "mcmc_summary",
     "split_rhat",
     "effective_sample_size",

@@ -91,16 +91,57 @@ def effective_sample_size_chains(samples: jnp.ndarray) -> jnp.ndarray:
     return n * m / tau
 
 
+def _rank_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Fractional ranks over all draws (per trailing dim), mapped through
+    the normal quantile function (Blom offsets) — the transform behind
+    Vehtari et al.'s rank-normalized diagnostics. Robust to heavy tails
+    and monotone reparametrization."""
+    from jax.scipy.special import ndtri
+    t, c = x.shape[0], x.shape[1]
+    flat = x.reshape((t * c,) + x.shape[2:])
+    order = jnp.argsort(flat, axis=0)
+    ranks = jnp.argsort(order, axis=0).astype(x.dtype) + 1.0
+    z = ndtri((ranks - 0.375) / (t * c + 0.25))
+    return z.reshape(x.shape)
+
+
+def rank_normalized_rhat(samples: jnp.ndarray) -> jnp.ndarray:
+    """The Vehtari et al. (2021) recommended R-hat: the max of the split
+    R-hat on rank-normalized draws (location disagreement) and on
+    rank-normalized FOLDED draws |x - median| (scale disagreement)."""
+    samples = jnp.asarray(samples)
+    bulk = split_rhat(_rank_normalize(samples))
+    med = jnp.median(samples.reshape((-1,) + samples.shape[2:]), axis=0)
+    folded = split_rhat(_rank_normalize(jnp.abs(samples - med)))
+    return jnp.maximum(bulk, folded)
+
+
+def ess_tail(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
+    """Tail ESS: the smaller of the ESS of the two tail-indicator
+    sequences I(x <= q_prob) and I(x >= q_{1-prob}) — how reliably the
+    chains estimate tail quantiles (slow tails hide from bulk ESS)."""
+    samples = jnp.asarray(samples)
+    flat = samples.reshape((-1,) + samples.shape[2:])
+    qlo = jnp.quantile(flat, prob, axis=0)
+    qhi = jnp.quantile(flat, 1.0 - prob, axis=0)
+    dt = samples.dtype
+    lo = effective_sample_size_chains((samples <= qlo).astype(dt))
+    hi = effective_sample_size_chains((samples >= qhi).astype(dt))
+    return jnp.minimum(lo, hi)
+
+
 def mcmc_summary(samples: jnp.ndarray) -> dict:
     """Per-dimension posterior summary for a [T, C, d] sample stack:
-    mean, sd, split R-hat, multi-chain ESS, and ESS per draw."""
+    mean, sd, rank-normalized folded R-hat, bulk ESS (rank-normalized),
+    tail ESS, and bulk ESS per draw."""
     samples = jnp.asarray(samples)
     flat = samples.reshape(-1, samples.shape[-1])
-    ess = effective_sample_size_chains(samples)
+    ess = effective_sample_size_chains(_rank_normalize(samples))
     return {
         "mean": jnp.mean(flat, axis=0),
         "sd": jnp.std(flat, axis=0, ddof=1),
-        "rhat": split_rhat(samples),
+        "rhat": rank_normalized_rhat(samples),
         "ess": ess,
+        "ess_tail": ess_tail(samples),
         "ess_per_draw": ess / (samples.shape[0] * samples.shape[1]),
     }

@@ -82,3 +82,41 @@ class TestESS:
         # RW-MH at 0.234 acceptance mixes slowly: ESS well under total
         assert np.all(np.asarray(out["ess"]) < 1000 * 16)
         assert np.all(np.asarray(out["ess"]) > 50)
+
+
+class TestRankNormalized:
+    """Vehtari-recommendation extras: rank-normalized folded R-hat and
+    tail ESS."""
+
+    def test_heavy_tail_robustness(self):
+        # cauchy draws: plain split_rhat is noise-dominated, the
+        # rank-normalized version stays calibrated near 1 for iid chains
+        from cusmc_tpu.diagnostics import rank_normalized_rhat
+        rng = np.random.default_rng(7)
+        s = jnp.asarray(rng.standard_cauchy((2000, 8)), jnp.float32)
+        assert 0.99 < float(rank_normalized_rhat(s)) < 1.02
+
+    def test_scale_disagreement_flagged(self):
+        # same mean, different variances: plain split-rhat (mean-based)
+        # misses it, the folded component catches it
+        from cusmc_tpu.diagnostics import rank_normalized_rhat, split_rhat
+        rng = np.random.default_rng(8)
+        s = rng.standard_normal((2000, 4)).astype(np.float32)
+        s[:, 0] *= 6.0
+        assert float(split_rhat(jnp.asarray(s))) < 1.1
+        assert float(rank_normalized_rhat(jnp.asarray(s))) > 1.2
+
+    def test_tail_ess_iid(self):
+        from cusmc_tpu.diagnostics import ess_tail
+        rng = np.random.default_rng(9)
+        t, c = 2000, 8
+        s = jnp.asarray(rng.standard_normal((t, c)), jnp.float32)
+        e = float(ess_tail(s))
+        assert 0.3 * t * c < e <= 1.6 * t * c
+
+    def test_summary_has_tail(self):
+        rng = np.random.default_rng(10)
+        s = jnp.asarray(rng.standard_normal((400, 4, 2)), jnp.float32)
+        out = jax.jit(mcmc_summary)(s)
+        assert out["ess_tail"].shape == (2,)
+        assert np.all(np.asarray(out["ess_tail"]) > 50)

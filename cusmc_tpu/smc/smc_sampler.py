@@ -30,6 +30,7 @@ from flax import struct
 from jax import lax
 from jax.scipy.special import logsumexp
 
+from cusmc_tpu.mcmc.hmc import HMCState, hmc_step
 from cusmc_tpu.mcmc.mala import MALAState, _value_and_grad_batched, mala_step
 from cusmc_tpu.mcmc.metropolis import MHState, mh_step
 from cusmc_tpu.resampling import get_resampler
@@ -87,9 +88,11 @@ def smc_sampler(
     ``log_prior``/``log_target`` map [N, d] -> [N]; ``prior_sample(key,
     (N,))`` draws [N, d]. ``rejuvenation`` selects the move kernel:
     "rwm" (random-walk Metropolis, step size Robbins-Monro adapted toward
-    0.234 pooled acceptance) or "mala" (Langevin proposal using gradients
-    of the tempered density, adapted toward 0.574 — requires differentiable
-    log_prior/log_target).
+    0.234 pooled acceptance), "mala" (Langevin proposal using gradients
+    of the tempered density, adapted toward 0.574) or "hmc" (5 jittered
+    leapfrog steps per move, adapted toward 0.8; one move explores much
+    further than a random-walk sweep on correlated targets). The
+    gradient kernels require differentiable log_prior/log_target.
 
     ``waste_free=True`` switches resample-move to the waste-free scheme of
     Dau & Chopin (2022): each stage resamples only M = N/rejuvenation_steps
@@ -98,7 +101,7 @@ def smc_sampler(
     away, and the chains are P times longer at the same cost. Requires
     N divisible by ``rejuvenation_steps``.
     """
-    if rejuvenation not in ("rwm", "mala"):
+    if rejuvenation not in ("rwm", "mala", "hmc"):
         raise ValueError(f"unknown rejuvenation kernel {rejuvenation!r}")
     if waste_free:
         if num_particles % rejuvenation_steps != 0:
@@ -156,6 +159,13 @@ def smc_sampler(
                                  log_step=log_step,
                                  accept_count=jnp.zeros((c,), dtype))
             move = mala_step
+        elif rejuvenation == "hmc":
+            logp0, grad0 = _value_and_grad_batched(logpdf_now)(starts)
+            mv_state = HMCState(x=starts, logp=logp0, grad=grad0,
+                                log_step=log_step,
+                                accept_count=jnp.zeros((c,), dtype))
+            move = lambda k, st, lp, **kw: hmc_step(k, st, lp,
+                                                    num_leapfrog=5, **kw)
         else:
             mv_state = MHState(x=starts, logp=logpdf_now(starts),
                                log_step=log_step,

@@ -102,16 +102,40 @@ def test_mala_rejuvenation(key):
     assert abs(float(result.log_evidence)) < 0.12
 
 
+def test_hmc_rejuvenation(key):
+    # Correlated target: 5-leapfrog HMC moves cross the ridge that traps
+    # a random-walk sweep; moments + evidence recovered.
+    d = 3
+    mu = jnp.asarray([2.0, -1.0, 0.5], jnp.float32)
+    rho = 0.9
+    tcov = jnp.asarray(np.eye(d) * (1 - rho) + rho, jnp.float32)
+    prior_cov = 4.0 * jnp.eye(d, dtype=jnp.float32)
+    log_prior = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
+                                         prior_cov)
+    log_target = lambda x: mvn_logpdf_cov(x, mu, tcov)
+    prior_sample = lambda k, s: mvn_sample_cov(k, jnp.zeros(d, jnp.float32),
+                                               prior_cov, s)
+    result = jax.jit(lambda k: smc_sampler(
+        k, log_prior, log_target, prior_sample, 4096, d,
+        rejuvenation="hmc", step_size=0.25))(key)
+    w = np.exp(np.asarray(result.log_weights))
+    xs = np.asarray(result.particles)
+    mean = (w[:, None] * xs).sum(0)
+    np.testing.assert_allclose(mean, np.asarray(mu), atol=0.15)
+    assert abs(float(result.log_evidence)) < 0.15
+    assert float(result.accept_rate) > 0.5
+
+
 def test_unknown_rejuvenation_rejected(key):
     d = 2
     lp = lambda x: mvn_logpdf_cov(x, jnp.zeros(d, jnp.float32),
                                   jnp.eye(d, dtype=jnp.float32))
     ps = lambda k, s: jax.random.normal(k, s + (d,), jnp.float32)
     with pytest.raises(ValueError):
-        smc_sampler(key, lp, lp, ps, 64, d, rejuvenation="hmc")
+        smc_sampler(key, lp, lp, ps, 64, d, rejuvenation="nuts")
 
 
-@pytest.mark.parametrize("kernel", ["rwm", "mala"])
+@pytest.mark.parametrize("kernel", ["rwm", "mala", "hmc"])
 def test_waste_free(key, kernel):
     # Dau-Chopin waste-free resample-move: same shifted-Gaussian oracle.
     d = 3

@@ -153,17 +153,20 @@ def chees_hmc_sampler(
         # diagonal-mass leapfrog == per-dim step scaling with unit momenta
         eps_d = eps * jnp.sqrt(state.var_est) if precondition else eps
 
+        # the loop's vg already computes the density at each new x; carry
+        # it so the final iterate IS logp(x_prop) — one fewer full
+        # density pass per sweep (material at short preconditioned
+        # trajectories, where L ~ 1-2).
         def leap(_, carry):
-            x, p, grad = carry
+            x, p, grad, _ = carry
             p_half = p + 0.5 * eps_d * grad
             x = x + eps_d * p_half
-            _, grad = vg(x)
+            logp, grad = vg(x)
             p = p_half + 0.5 * eps_d * grad
-            return (x, p, grad)
+            return (x, p, grad, logp)
 
-        x_pr, p_pr, grad_pr = lax.fori_loop(
-            0, n_leap, leap, (state.x, p0, state.grad))
-        logp_pr = log_prob(x_pr)
+        x_pr, p_pr, grad_pr, logp_pr = lax.fori_loop(
+            0, n_leap, leap, (state.x, p0, state.grad, state.logp))
 
         ke0 = 0.5 * jnp.sum(p0 * p0, axis=-1)
         ke1 = 0.5 * jnp.sum(p_pr * p_pr, axis=-1)

@@ -81,21 +81,23 @@ def hmc_step(key: jax.Array, state: HMCState, log_prob: Callable,
         steps = jnp.asarray(num_leapfrog)
 
     # Leapfrog with a mask past the sampled length (static bound L).
+    # vg computes the density alongside the gradient; carrying it makes
+    # the final iterate logp(x_prop) — no separate density pass.
     def leap(carry, i):
-        x, p, grad = carry
+        x, p, grad, logp = carry
         active = i < steps
         p_half = p + 0.5 * eps * grad
         x_new = x + eps * p_half
-        _, grad_new = vg(x_new)
+        logp_new, grad_new = vg(x_new)
         p_new = p_half + 0.5 * eps * grad_new
         x = jnp.where(active, x_new, x)
         p = jnp.where(active, p_new, p)
         grad = jnp.where(active, grad_new, grad)
-        return (x, p, grad), ()
+        logp = jnp.where(active, logp_new, logp)
+        return (x, p, grad, logp), ()
 
-    (x_prop, p_prop, grad_prop), _ = lax.scan(
-        leap, (state.x, p0, state.grad), jnp.arange(num_leapfrog))
-    logp_prop = log_prob(x_prop)
+    (x_prop, p_prop, grad_prop, logp_prop), _ = lax.scan(
+        leap, (state.x, p0, state.grad, state.logp), jnp.arange(num_leapfrog))
 
     # Metropolis correction on the joint (x, p) energy.
     ke0 = 0.5 * jnp.sum(p0 * p0, axis=-1)

@@ -162,11 +162,19 @@ def parallel_tempering_sampler(
             [acc, jnp.zeros((1, c), bool)], axis=0)      # [R, C] r <- r+1
         take_dn = jnp.concatenate(
             [jnp.zeros((1, c), bool), acc], axis=0)      # [R, C] r <- r-1
-        rung = jnp.arange(R)[:, None]
-        src = jnp.where(take_up, rung + 1,
-                        jnp.where(take_dn, rung - 1, rung))  # [R, C]
-        x = jnp.take_along_axis(state.x, src[..., None], axis=0)
-        logp = jnp.take_along_axis(state.logp, src, axis=0)
+        # Adjacent-only exchange: two rung-axis rolls + selects instead
+        # of a rung-varying gather (rolls are near-free on TPU, gathers
+        # are not — the same lesson as the filter's roll resampler).
+        def exchange(a):
+            up = jnp.roll(a, -1, axis=0)                 # row r = a[r+1]
+            dn = jnp.roll(a, 1, axis=0)                  # row r = a[r-1]
+            tu, td = take_up, take_dn
+            if a.ndim == 3:
+                tu, td = tu[..., None], td[..., None]
+            return jnp.where(tu, up, jnp.where(td, dn, a))
+
+        x = exchange(state.x)
+        logp = exchange(state.logp)
         pooled_sw = _pmean(jnp.mean(acc.astype(dtype), axis=1), axis_name)
         return state.replace(
             x=x, logp=logp, swap_count=state.swap_count + pooled_sw)

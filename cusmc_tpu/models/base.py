@@ -68,3 +68,25 @@ class CustomSSM(struct.PyTreeNode):
 
     def observation_logpdf(self, y, x):
         return self._observation_logpdf(self.params, y, x)
+
+
+def normalize_time_hook(fn, kind):
+    """Normalize a model hook to the 3-argument form the filter's scan
+    body uses: propagate ``(key, X, t)`` / logpdf ``(y, X, t)``.
+
+    Models whose hooks declare a ``t`` parameter (time-varying dynamics
+    or observation models, e.g. models/ungm.py) receive the scan step;
+    the standard time-invariant hooks are wrapped at TRACE time (the
+    wrapper vanishes under jit — zero runtime cost on the hot paths).
+    """
+    import inspect
+
+    try:
+        takes_t = "t" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        takes_t = False
+    if takes_t:
+        return (lambda k, x, t: fn(k, x, t=t)) if kind == "x" else \
+            (lambda y, x, t: fn(y, x, t=t))
+    return (lambda k, x, t: fn(k, x)) if kind == "x" else \
+        (lambda y, x, t: fn(y, x))

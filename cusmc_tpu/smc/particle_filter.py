@@ -84,6 +84,10 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
     ring/window traffic. Ops without ``pred`` fall back to
     compute-both-and-select.
     """
+    from cusmc_tpu.models.base import normalize_time_hook
+    propagate_fn = normalize_time_hook(propagate_fn, "x")
+    logpdf_fn = normalize_time_hook(logpdf_fn, "y")
+
     import inspect
 
     op_takes_pred = False
@@ -136,8 +140,8 @@ def _step_factory(propagate_fn: Callable, logpdf_fn: Callable,
             logw_pre = jnp.where(pred, rw, sw)
             a = jnp.where(pred, ra, sa)
 
-        x_new = propagate_fn(k_prop, x_anc)
-        ll = logpdf_fn(y_t, x_new)
+        x_new = propagate_fn(k_prop, x_anc, t)
+        ll = logpdf_fn(y_t, x_new, t)
 
         logw_new, lz_inc = log_normalize(logw_pre + ll, axis_name)
         if debug_checks:
@@ -189,6 +193,10 @@ def _fast_exp_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
     0.90B and d=16 808M -> 559M: XLA fuses the select chain into the
     matmul operand read when the matmul consumes it, which the
     reordering defeats.)"""
+    from cusmc_tpu.models.base import normalize_time_hook
+    propagate_fn = normalize_time_hook(propagate_fn, "x")
+    logpdf_fn = normalize_time_hook(logpdf_fn, "y")
+
     import inspect
 
     log_n = math.log(n_global)
@@ -220,8 +228,8 @@ def _fast_exp_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
 
         if ess_threshold is None:
             x_anc, _, a = resample_exp(k_res, x, w)
-            x_new = propagate_fn(k_prop, x_anc)
-            ll = logpdf_fn(y_t, x_new)
+            x_new = propagate_fn(k_prop, x_anc, t)
+            ll = logpdf_fn(y_t, x_new, t)
             m = pmax_(jnp.max(ll))
             w_new = jnp.exp(ll - m)
             lz_inc = m + jnp.log(psum_(jnp.sum(w_new))) - log_n
@@ -250,8 +258,8 @@ def _fast_exp_step_factory(propagate_fn: Callable, logpdf_fn: Callable,
                 a = jnp.where(pred, ra, sa)
             denom = jnp.where(pred, jnp.asarray(float(n_global), s1.dtype),
                               s1)
-            x_new = propagate_fn(k_prop, x_anc)
-            ll = logpdf_fn(y_t, x_new)
+            x_new = propagate_fn(k_prop, x_anc, t)
+            ll = logpdf_fn(y_t, x_new, t)
             m = pmax_(jnp.max(ll))
             w_new = w_pre * jnp.exp(ll - m)
             lz_inc = m + jnp.log(psum_(jnp.sum(w_new))) - jnp.log(denom)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from cusmc_tpu.parallel.mesh import PARTICLE_AXIS
+from cusmc_tpu.parallel.mesh import jit_shard_map, PARTICLE_AXIS
 from cusmc_tpu.smc.enkf import EnKFResult, ensemble_kalman_filter
 
 try:  # jax >= 0.7 exposes shard_map at top level
@@ -50,6 +50,6 @@ def sharded_ensemble_kalman_filter(
             axis_name=axis, num_ensemble_global=num_ensemble)
 
     out_specs = EnKFResult(final_ensemble=P(axis), means=P(), spread=P())
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+    fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
                    out_specs=out_specs, check_vma=False)
     return fn(key, model, ys)

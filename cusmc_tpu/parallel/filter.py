@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cusmc_tpu.models.dlm import DLM
-from cusmc_tpu.parallel.mesh import PARTICLE_AXIS
+from cusmc_tpu.parallel.mesh import jit_shard_map, PARTICLE_AXIS
 from cusmc_tpu.parallel.resampling import (
     allgather_resample_op,
     ring_cdf_resample_op,
@@ -107,7 +107,7 @@ def sharded_bootstrap_filter(
         obs_loglik=P(None, axis) if return_history else None,
         ancestors=P(None, axis) if return_history else None,
     )
-    fn = shard_map(
+    fn = jit_shard_map(
         local_filter, mesh=mesh,
         in_specs=(repl, repl, repl),
         out_specs=out_specs,

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cusmc_tpu.mcmc.metropolis import MHResult, metropolis_hastings_sampler
-from cusmc_tpu.parallel.mesh import CHAIN_AXIS
+from cusmc_tpu.parallel.mesh import jit_shard_map, CHAIN_AXIS
 
 try:
     shard_map = jax.shard_map
@@ -41,6 +41,13 @@ def sharded_mh_sampler(
     n_shards = mesh.shape[axis]
     if c % n_shards != 0:
         raise ValueError(f"chains={c} not divisible by axis size {n_shards}")
+    if n_shards == 1:
+        # 1-shard mesh: pooling is the identity — run the unsharded
+        # sampler (same key fold as shard 0) and skip the ~13% SPMD
+        # program overhead (SCALING_r05.json mcmc rows).
+        return metropolis_hastings_sampler(
+            jax.random.fold_in(key, 0), log_prob, init_x, num_steps,
+            keep_samples=keep_samples, **mh_kwargs)
 
     def local(key, init_local):
         k = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -57,7 +64,7 @@ def sharded_mh_sampler(
         accept_rate=P(),
         step_size=P(),
     )
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+    fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                    out_specs=out_specs, check_vma=False)
     return fn(key, init_x)
 
@@ -91,6 +98,10 @@ def sharded_pt_sampler(
     n_shards = mesh.shape[axis]
     if c % n_shards != 0:
         raise ValueError(f"chains={c} not divisible by axis size {n_shards}")
+    if n_shards == 1:
+        return parallel_tempering_sampler(
+            jax.random.fold_in(key, 0), log_prob, init_x, num_steps,
+            keep_samples=keep_samples, **pt_kwargs)
     if init_x.ndim != 2:
         raise ValueError("sharded PT takes [C, d] init (rungs broadcast)")
 
@@ -109,7 +120,7 @@ def sharded_pt_sampler(
         step_size=P(),
         betas=P(),
     )
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+    fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                    out_specs=out_specs, check_vma=False)
     return fn(key, init_x)
 
@@ -140,6 +151,10 @@ def sharded_chees_sampler(
     n_shards = mesh.shape[axis]
     if c % n_shards != 0:
         raise ValueError(f"chains={c} not divisible by axis size {n_shards}")
+    if n_shards == 1:
+        return chees_hmc_sampler(
+            jax.random.fold_in(key, 0), log_prob, init_x, num_steps,
+            keep_samples=keep_samples, **chees_kwargs)
 
     def local(key, init_local):
         k = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -158,6 +173,6 @@ def sharded_chees_sampler(
         mean_leapfrog=P(),
         mass_var=P(),
     )
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+    fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                    out_specs=out_specs, check_vma=False)
     return fn(key, init_x)

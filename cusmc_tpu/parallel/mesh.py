@@ -50,3 +50,23 @@ def particle_sharding(mesh: Mesh, axis: str = PARTICLE_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def jit_shard_map(*args, **kwargs):
+    """``jax.jit(shard_map(...))`` — the wrapper boundary for every
+    sharded entry point in this package.
+
+    ``shard_map`` called eagerly dispatches its body op by op: a
+    2000-step sampler scan becomes one RPC per primitive, measured
+    ~500x slower than the compiled program over the axon tunnel
+    (SCALING_r05.json mcmc note). Jitting at the boundary makes each
+    public sharded function one compiled program regardless of how the
+    caller invokes it; nesting inside a caller's jit is free.
+    """
+    import jax
+
+    try:
+        sm = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as sm
+    return jax.jit(sm(*args, **kwargs))

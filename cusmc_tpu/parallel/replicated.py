@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cusmc_tpu.models.base import supports_packed
-from cusmc_tpu.parallel.mesh import CHAIN_AXIS, PARTICLE_AXIS
+from cusmc_tpu.parallel.mesh import jit_shard_map, CHAIN_AXIS, PARTICLE_AXIS
 from cusmc_tpu.parallel.resampling import (
     allgather_resample_op,
     roll_metropolis_sharded_op,
@@ -96,6 +96,6 @@ def replicated_sharded_filters(
         ess=P(chain_axis),
         log_evidence=P(chain_axis),
     )
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+    fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
                    out_specs=out_specs, check_vma=False)
     return fn(key, model, ys)

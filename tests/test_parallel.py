@@ -196,3 +196,18 @@ def test_sharded_chees_pooled_adaptation(key):
     assert (ratio > 0.3).all() and (ratio < 3.0).all()
     s = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
     np.testing.assert_allclose(s.var(0), np.asarray(stds) ** 2, rtol=0.4)
+
+
+def test_p1_mesh_specializes_to_unsharded(key):
+    # 1-shard meshes skip shard_map entirely; results must equal the
+    # unsharded sampler with the shard-0 key fold, bitwise.
+    from cusmc_tpu.mcmc import metropolis_hastings_sampler
+    from cusmc_tpu.parallel import sharded_mh_sampler
+    mesh = make_mesh({"chains": 1}, devices=jax.devices()[:1])
+    logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    init = jax.random.normal(key, (16, 3), jnp.float32)
+    a = sharded_mh_sampler(key, logp, init, 50, mesh, keep_samples=True)
+    b = metropolis_hastings_sampler(jax.random.fold_in(key, 0), logp,
+                                    init, 50, keep_samples=True)
+    np.testing.assert_array_equal(np.asarray(a.samples),
+                                  np.asarray(b.samples))

@@ -8,7 +8,8 @@ benchmarks/probe_mh.py): precomputed-inverse log-density closure
 (``make_mvt_logprob``) + rbg keys + bf16 proposal noise for the two
 symmetric-proposal samplers (exact — see mcmc/metropolis.py).
 
-Env knobs: MH_SAMPLER=mh|adaptive|mala|hmc|all, MH_CHAINS/MH_D/MH_STEPS,
+Env knobs: MH_SAMPLER=mh|adaptive|mala|hmc|chees|pt|all
+(one sampler per process is the tunnel-safe pattern), MH_CHAINS/MH_D/MH_STEPS,
 MH_IMPL=rbg|threefry2x32, MH_NOISE=bf16|f32, MH_CHOL_EVERY (adaptive).
 """
 

@@ -24,27 +24,12 @@ from jax import lax
 from cusmc_tpu.distributions import mvt_logpdf_cov
 from cusmc_tpu.mcmc import metropolis_hastings_sampler
 
+# 'inv' variants use the production closure (make_mvt_logprob)
+
 CHAINS = int(os.environ.get("MH_CHAINS", 1024))
 D = int(os.environ.get("MH_D", 128))
 STEPS = int(os.environ.get("MH_STEPS", 2000))
 DF = 8.0
-
-
-def make_logprob_inv(mean, cov, df, d):
-    """Closure with Linv precomputed: logpdf = one [C,d]@[d,d] matmul."""
-    import math
-    from jax.scipy.special import gammaln
-    L = jnp.linalg.cholesky(cov)
-    Linv = lax.linalg.triangular_solve(
-        L, jnp.eye(d, dtype=cov.dtype), left_side=True, lower=True)
-    log_norm = (gammaln(0.5 * (df + d)) - gammaln(0.5 * df)
-                - 0.5 * d * (jnp.log(df) + math.log(math.pi))
-                - jnp.sum(jnp.log(jnp.diagonal(L))))
-    def lp(x):
-        z = (x - mean) @ Linv.T
-        quad = jnp.sum(z * z, axis=-1)
-        return log_norm - 0.5 * (df + d) * jnp.log1p(quad / df)
-    return lp
 
 
 def run_bf16_noise(tag, key_impl):
@@ -142,5 +127,5 @@ if __name__ == "__main__":
         if want and tag not in want:
             continue
         run(tag, impl, kind)
-    if not want or "bf16_rbg" in (want or []):
+    if not want or "bf16noise_rbg" in want:
         run_bf16_noise("bf16noise_rbg", "rbg")

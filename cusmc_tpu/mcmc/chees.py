@@ -187,7 +187,13 @@ def chees_hmc_sampler(
         xc = state.x - m_cur
         xp = x_pr - m_pr
         delta = jnp.sum(xp * xp, axis=-1) - jnp.sum(xc * xc, axis=-1)
-        dot = jnp.sum(xp * p_pr, axis=-1)                 # dx'/dtau = p'
+        # dx'/dtau: the preconditioned leapfrog moves x by eps_d*p per
+        # step, so the actual end velocity is sqrt(var_est) (.) p' —
+        # omitting the weighting computes the gradient in the wrong
+        # metric on exactly the anisotropic targets preconditioning is
+        # for (round-5 review finding).
+        vel = p_pr * jnp.sqrt(state.var_est) if precondition else p_pr
+        dot = jnp.sum(xp * vel, axis=-1)
         num = _pmean(jnp.mean(w * delta * dot), axis_name)
         den = _pmean(jnp.mean(w), axis_name) + 1e-12
         # d tau / d log h = tau; ascend the criterion.

@@ -68,10 +68,13 @@ def sample_to_convergence(
         raise ValueError(f"unknown sampler {sampler!r}")
 
     warm_kw = dict(kwargs)
-    # continuation blocks re-inject the adapted values; drop any user
-    # initials for those same knobs
+    # continuation blocks re-inject the adapted values and force
+    # num_adapt=0 / keep_samples=True; drop any user-supplied initials
+    # for those same knobs (passing both is a TypeError)
     cont_kw = {k: v for k, v in kwargs.items()
-               if k not in ("init_traj", "init_var")}
+               if k not in ("init_traj", "init_var", "num_adapt",
+                            "keep_samples")}
+    warm_kw.pop("keep_samples", None)
     if sampler == "chees":
         warm = jax.jit(lambda k, x: chees_hmc_sampler(
             k, log_prob, x, block_steps, step_size=step_size,
@@ -85,7 +88,7 @@ def sample_to_convergence(
             keep_samples=False, **warm_kw))
         cont = jax.jit(lambda k, x, ss: metropolis_hastings_sampler(
             k, log_prob, x, block_steps, step_size=ss, num_adapt=0,
-            keep_samples=True, **warm_kw))
+            keep_samples=True, **cont_kw))
 
     k_warm, key = jax.random.split(key)
     res = warm(k_warm, init_x)

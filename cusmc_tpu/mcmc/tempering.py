@@ -206,13 +206,20 @@ def parallel_tempering_sampler(
     if keep_samples:
         (xs,) = outs
         samples = xs[::thin] if thin > 1 else xs
-    n_swaps = max(num_steps // swap_every, 1)
+    # events fire at t % swap_every == 0 (t = 0 included); event e has
+    # parity e % 2, so even pairs are proposed ceil(E/2) times and odd
+    # pairs E//2 times (round-5 review: the old 0.5*E denominator could
+    # exceed probability 1 and divided never-proposed pairs).
+    n_events = -(-num_steps // swap_every)
+    n_lo = jnp.maximum((n_events + 1) // 2, 1)
+    n_hi = jnp.maximum(n_events // 2, 1)
+    pair_events = jnp.where(jnp.arange(max(R - 1, 0)) % 2 == 0,
+                            n_lo, n_hi).astype(betas.dtype)
     return PTResult(
         state=final,
         samples=samples,
         accept_rate=final.accept_count / num_steps,
-        # each pair is proposed every OTHER swap pass (its parity)
-        swap_rate=final.swap_count / (0.5 * n_swaps),
+        swap_rate=final.swap_count / pair_events,
         step_size=jnp.exp(final.log_step),
         betas=betas,
     )

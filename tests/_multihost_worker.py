@@ -1,7 +1,8 @@
 """Worker for the 2-process ``jax.distributed`` loopback test
 (tests/test_multihost.py::test_two_process_loopback). Runs as a separate
 interpreter per process: argv = coordinator host:port, num_processes,
-process_id, [logZ_systematic, logZ_metropolis]. Prints
+process_id, [logZ_systematic, logZ_metropolis, mh_step, mh_acc,
+chees_traj, chees_acc]. Prints
 ``MULTIHOST_OK <pid> <psum>`` on success.
 
 When the two reference logZ values are given, the worker ALSO runs the
@@ -19,6 +20,7 @@ import sys
 def main():
     coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     refs = [float(a) for a in sys.argv[4:6]]
+    mcmc_refs = [float(a) for a in sys.argv[6:10]]
     # 4 virtual CPU devices per process -> 8 global devices over DCN
     # (P=8 > 2*ring_window+1, so the sharded systematic filter takes the
     # span-bounded exchange, not the small-mesh full ring).
@@ -131,6 +133,35 @@ def main():
         assert (anc_local == heavy).all(), anc_local
         x_local = np.asarray(x_out.addressable_data(0))
         assert np.allclose(x_local, float(heavy)), x_local
+
+    if mcmc_refs:
+        # Round-5 session: the chain-sharded SAMPLERS over DCN — pmean
+        # pooled adaptation (MH scalar pooling; ChEES vector pooling for
+        # the mass diagonal + the shared dynamic-trip-count leapfrog)
+        # across the process boundary, asserted equal to the parent's
+        # single-process 8-device run of the identical SPMD program.
+        import jax.numpy as jnp3
+
+        from cusmc_tpu.parallel import (
+            sharded_chees_sampler,
+            sharded_mh_sampler,
+        )
+
+        mesh_c = global_mesh({"chains": 4 * nproc})
+        logp = lambda x: -0.5 * jnp3.sum(x * x, axis=-1)
+        key_c = jax.random.key(11)
+        init_c = jax.random.normal(jax.random.key(12), (16, 3),
+                                   jnp3.float32)
+        mh = sharded_mh_sampler(key_c, logp, init_c, 10, mesh_c,
+                                adapt_rate=0.1)
+        got = [float(np.asarray(mh.step_size.addressable_data(0))),
+               float(np.asarray(mh.accept_rate.addressable_data(0)))]
+        ch = sharded_chees_sampler(key_c, logp, init_c, 5, mesh_c,
+                                   max_leapfrog=8)
+        got += [float(np.asarray(ch.traj_length.addressable_data(0))),
+                float(np.asarray(ch.accept_rate.addressable_data(0)))]
+        for g, r in zip(got, mcmc_refs):
+            assert abs(g - r) < 1e-4, (got, mcmc_refs)
 
     print(f"MULTIHOST_OK {pid} {val}", flush=True)
 

@@ -76,6 +76,23 @@ def test_two_process_loopback():
                                        resampler=resampler)
         refs.append(float(np.asarray(res.log_evidence)))
 
+    # chain-sharded sampler references (same SPMD program as the
+    # worker's process-spanning chains mesh)
+    from cusmc_tpu.parallel import sharded_chees_sampler, sharded_mh_sampler
+
+    mesh_c = global_mesh({"chains": 8})
+    logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    key_c = jax.random.key(11)
+    init_c = jax.random.normal(jax.random.key(12), (16, 3), jnp.float32)
+    mh = sharded_mh_sampler(key_c, logp, init_c, 10, mesh_c,
+                            adapt_rate=0.1)
+    ch = sharded_chees_sampler(key_c, logp, init_c, 5, mesh_c,
+                               max_leapfrog=8)
+    mcmc_refs = [float(np.asarray(mh.step_size)),
+                 float(np.asarray(mh.accept_rate)),
+                 float(np.asarray(ch.traj_length)),
+                 float(np.asarray(ch.accept_rate))]
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "_multihost_worker.py")
     coord = f"127.0.0.1:{port}"
@@ -85,7 +102,7 @@ def test_two_process_loopback():
 
     procs = [subprocess.Popen(
         [sys.executable, worker, coord, "2", str(pid),
-         repr(refs[0]), repr(refs[1])],
+         repr(refs[0]), repr(refs[1])] + [repr(v) for v in mcmc_refs],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=root) for pid in range(2)]
     try:

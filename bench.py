@@ -100,18 +100,18 @@ def main():
     default_cfg = (num_particles == 1_048_576 and num_steps == 200
                    and d == 2 and resampler == "metropolis"
                    and not sharded and noise == "mvt" and not sdt
-                   and engine == "auto")
+                   and engine == "auto" and impl == "rbg")
     vs = 1.0
     vs_best = None
     band = None
     try:
         with open(os.path.join(os.path.dirname(__file__),
                                "BENCH_BEST.json")) as f:
-            best = json.load(f)
+            rec = json.load(f)
         if default_cfg:
-            vs_best = rate / float(best["value"])
+            vs_best = rate / float(rec["value"])
             vs = vs_best
-            band = [best["spread_lo"], best["spread_hi"]]
+            band = [rec["spread_lo"], rec["spread_hi"]]
     except Exception:
         pass
 

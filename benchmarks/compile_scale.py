@@ -46,21 +46,7 @@ except AttributeError:  # pragma: no cover
 AXIS = "particles"
 
 
-def count_primitive(jaxpr, name):
-    n = 0
-    for eqn in jaxpr.eqns:
-        if eqn.primitive.name == name:
-            n += 1
-        for param in eqn.params.values():
-            inner = getattr(param, "jaxpr", None)
-            if inner is not None:
-                n += count_primitive(inner, name)
-            if isinstance(param, (list, tuple)):
-                for p_ in param:
-                    inner = getattr(p_, "jaxpr", None)
-                    if inner is not None:
-                        n += count_primitive(inner, name)
-    return n
+from cusmc_tpu.utils.debug import count_primitive
 
 
 def measure(tag, op, mesh, n, nsh):

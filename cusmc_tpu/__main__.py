@@ -56,21 +56,10 @@ def _cmd_demo(args) -> int:
     return 0
 
 
-def _build_model(cfg):
-    import jax.numpy as jnp
-
-    from cusmc_tpu.models.dlm import DLM
-
-    m = dict(cfg.model)
-    return DLM.create(noise=cfg.distribution, df=m.pop("df", None),
-                      sqrt_method=cfg.sqrt_method,
-                      dtype=jnp.dtype(cfg.dtype), **m)
-
-
 def _cmd_run(args) -> int:
     import numpy as np
 
-    from cusmc_tpu.config import FilterConfig, run_filter
+    from cusmc_tpu.config import FilterConfig, build_model, run_filter
     from cusmc_tpu.io.data import load_csv, write_output
 
     with open(args.config) as f:
@@ -82,6 +71,18 @@ def _cmd_run(args) -> int:
         return 2
     if args.resume and not args.checkpoint:
         print("--resume requires --checkpoint", file=sys.stderr)
+        return 2
+    if (args.checkpoint or args.resume) and not args.stream:
+        # silently ignoring these cost a user their resume semantics
+        # (round-5 review finding): checkpointing is a streaming-mode
+        # feature — fail loudly.
+        print("--checkpoint/--resume require --stream CHUNK",
+              file=sys.stderr)
+        return 2
+    if args.output_dir is not None and not (
+            0 <= args.track < cfg.num_particles):
+        print(f"--track {args.track} out of range for "
+              f"num_particles={cfg.num_particles}", file=sys.stderr)
         return 2
 
     mesh = None
@@ -103,7 +104,7 @@ def _cmd_run(args) -> int:
 
             ckpt = FilterCheckpoint(args.checkpoint, use_orbax=False)
         result, _ = streaming_bootstrap_filter(
-            jax.random.key(cfg.seed), _build_model(cfg),
+            jax.random.key(cfg.seed), build_model(cfg),
             np.asarray(ys, np.dtype(cfg.dtype)), cfg.num_particles,
             chunk_steps=args.stream, resampler=cfg.resampler,
             resampler_kwargs=cfg.resampler_kwargs,
@@ -116,12 +117,15 @@ def _cmd_run(args) -> int:
         from cusmc_tpu.parallel import sharded_bootstrap_filter
 
         result = sharded_bootstrap_filter(
-            jax.random.key(cfg.seed), _build_model(cfg),
+            jax.random.key(cfg.seed), build_model(cfg),
             jnp.asarray(ys, jnp.dtype(cfg.dtype)), cfg.num_particles,
             mesh, resampler=cfg.resampler,
             resampler_kwargs=cfg.resampler_kwargs,
             ess_threshold=cfg.ess_threshold,
-            return_history=cfg.return_history)
+            # history dominates HBM at sharded scales; only materialize
+            # it when the CSV export actually needs it
+            return_history=(cfg.return_history
+                            and args.output_dir is not None))
     else:
         result = run_filter(cfg, ys)
     wall = time.perf_counter() - t0

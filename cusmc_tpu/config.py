@@ -48,19 +48,29 @@ class FilterConfig:
         return out
 
 
+def build_model(config: FilterConfig):
+    """Construct the configured DLM — the single source of truth for
+    config -> model (used by run_filter AND the CLI's stream/mesh
+    paths, which previously duplicated it)."""
+    import jax.numpy as jnp
+
+    from cusmc_tpu.models.dlm import DLM
+
+    m = dict(config.model)
+    return DLM.create(noise=config.distribution, df=m.pop("df", None),
+                      sqrt_method=config.sqrt_method,
+                      dtype=jnp.dtype(config.dtype), **m)
+
+
 def run_filter(config: FilterConfig, ys):
     """Execute a configured run; returns a FilterResult."""
     import jax
     import jax.numpy as jnp
 
-    from cusmc_tpu.models.dlm import DLM
     from cusmc_tpu.smc.particle_filter import bootstrap_filter
 
     dtype = jnp.dtype(config.dtype)
-    m = dict(config.model)
-    df = m.pop("df", None)
-    model = DLM.create(noise=config.distribution, df=df,
-                       sqrt_method=config.sqrt_method, dtype=dtype, **m)
+    model = build_model(config)
     return bootstrap_filter(
         jax.random.key(config.seed), model, jnp.asarray(ys, dtype),
         config.num_particles, resampler=config.resampler,

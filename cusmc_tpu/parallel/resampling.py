@@ -485,6 +485,15 @@ def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
     the local accept/select work (windowed: also the sweeps); collective
     traffic is unconditional as shard_map requires.
     """
+    if num_steps == "auto" and n_global != n_local:
+        # The ESS-conditioned sweep schedule exists only for the
+        # single-shard roll sweeps; the multi-shard exchange builds a
+        # static per-sweep collective program. Fail clearly instead of
+        # a TypeError mid-trace (round-5 review finding).
+        raise ValueError(
+            "num_steps='auto' is supported only on a 1-shard mesh; "
+            "pass an integer sweep count for multi-shard meshes")
+
 
     num_shards = n_global // n_local
     log_n = math.log(n_global)

@@ -401,6 +401,8 @@ def _fused_cdf_eligible(model, n: int) -> bool:
     tile = cdf_auto_tile(n, max(model.state_dim, model.obs_dim))
     if n % tile != 0 or n < 2 * DEFAULT_SROWS * 128 or n % 128 != 0:
         return False
+    if n > 1 << 24:  # kernel guard: f32-exact group positions need n <= 2^24
+        return False
     if model.noise == "mvt":
         if isinstance(model.df, jax.core.Tracer):
             return False

@@ -87,3 +87,24 @@ def validate_dlm_inputs(F, G, m0, C0, V, W, df=None, distribution="mvn"):
             raise ValueError("distribution='mvt' requires df")
         if float(df) <= 0:
             raise ValueError(f"df must be positive, got {df}")
+
+
+def count_primitive(jaxpr, name: str) -> int:
+    """Count instances of a primitive anywhere in a (nested) jaxpr —
+    shared by the O(K)-collective program-size assertions
+    (tests/test_parallel_resampling.py) and the pod-scale compile probe
+    (benchmarks/compile_scale.py), which must count identically."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            n += 1
+        for param in eqn.params.values():
+            inner = getattr(param, "jaxpr", None)
+            if inner is not None:
+                n += count_primitive(inner, name)
+            if isinstance(param, (list, tuple)):
+                for p_ in param:
+                    inner = getattr(p_, "jaxpr", None)
+                    if inner is not None:
+                        n += count_primitive(inner, name)
+    return n

@@ -322,22 +322,7 @@ def test_ring_round_gating_pod_scale(mesh, key):
 # ---- round 5: span-bounded exchange ------------------------------------
 
 
-def _count_primitive(jaxpr, name):
-    """Count instances of a primitive anywhere in a (nested) jaxpr."""
-    n = 0
-    for eqn in jaxpr.eqns:
-        if eqn.primitive.name == name:
-            n += 1
-        for param in eqn.params.values():
-            inner = getattr(param, "jaxpr", None)
-            if inner is not None:
-                n += _count_primitive(inner, name)
-            if isinstance(param, (list, tuple)):
-                for p_ in param:
-                    inner = getattr(p_, "jaxpr", None)
-                    if inner is not None:
-                        n += _count_primitive(inner, name)
-    return n
+from cusmc_tpu.utils.debug import count_primitive as _count_primitive
 
 
 def test_ring_jaxpr_ppermute_count_is_o_k(mesh, key):

@@ -8,7 +8,7 @@ benchmarks/probe_mh.py): precomputed-inverse log-density closure
 (``make_mvt_logprob``) + rbg keys + bf16 proposal noise for the two
 symmetric-proposal samplers (exact — see mcmc/metropolis.py).
 
-Env knobs: MH_SAMPLER=mh|adaptive|mala|hmc|chees|pt|all
+Env knobs: MH_SAMPLER=mh|adaptive|mala|hmc|chees|pt|stretch|all
 (one sampler per process is the tunnel-safe pattern), MH_CHAINS/MH_D/MH_STEPS,
 MH_IMPL=rbg|threefry2x32, MH_NOISE=bf16|f32, MH_CHOL_EVERY (adaptive).
 """
@@ -27,6 +27,7 @@ import numpy as np
 from cusmc_tpu.distributions import make_mvt_logprob
 from cusmc_tpu.mcmc import (
     adaptive_mh_sampler,
+    stretch_move_sampler,
     chees_hmc_sampler,
     parallel_tempering_sampler,
     hmc_sampler,
@@ -74,6 +75,9 @@ def main():
                 k, log_prob, pt_init, steps, num_rungs=8, beta_min=0.05,
                 step_size=2.38 / np.sqrt(d), keep_samples=False,
                 noise_dtype=noise), 1
+        if name == "stretch":
+            return lambda k: stretch_move_sampler(
+                k, log_prob, init, steps, keep_samples=False), 1
         if name == "chees":
             return lambda k: chees_hmc_sampler(
                 k, log_prob, init, max(steps // 10, 1), step_size=0.2,
@@ -84,7 +88,7 @@ def main():
                 step_size=0.2, adapt_rate=0.05, keep_samples=False), 10
         raise SystemExit(f"unknown MH_SAMPLER {name!r}")
 
-    names = ["mh", "adaptive", "mala", "hmc", "chees", "pt"] if which == "all" else [which]
+    names = ["mh", "adaptive", "mala", "hmc", "chees", "pt", "stretch"] if which == "all" else [which]
     for name in names:
         make, stride = build(name)
         n_steps = max(steps // stride, 1)
@@ -104,7 +108,8 @@ def main():
             "value": rate,
             "unit": "chain-steps/s",
             "accept_rate": float(np.asarray(out.accept_rate).mean()),
-            "step_size": float(np.asarray(out.step_size).reshape(-1)[0]),
+            "step_size": (float(np.asarray(out.step_size).reshape(-1)[0])
+                          if hasattr(out, "step_size") else None),
             "impl": impl,
             "noise": "bf16" if noise is not None else "f32",
         }), flush=True)

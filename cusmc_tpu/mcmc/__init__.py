@@ -14,6 +14,7 @@ from cusmc_tpu.mcmc.mala import (
     mala_step,
 )
 from cusmc_tpu.mcmc.driver import ConvergenceRun, sample_to_convergence
+from cusmc_tpu.mcmc.ensemble import EnsembleResult, stretch_move_sampler
 from cusmc_tpu.mcmc.chees import (
     ChEESResult,
     ChEESState,
@@ -34,6 +35,8 @@ from cusmc_tpu.mcmc.metropolis import (
 )
 
 __all__ = [
+    "EnsembleResult",
+    "stretch_move_sampler",
     "ConvergenceRun",
     "sample_to_convergence",
     "ChEESResult",

@@ -4,6 +4,7 @@ from cusmc_tpu.parallel.mcmc import (
     sharded_chees_sampler,
     sharded_mh_sampler,
     sharded_pt_sampler,
+    sharded_stretch_sampler,
 )
 from cusmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
@@ -32,4 +33,5 @@ __all__ = [
     "sharded_chees_sampler",
     "sharded_mh_sampler",
     "sharded_pt_sampler",
+    "sharded_stretch_sampler",
 ]

@@ -176,3 +176,50 @@ def sharded_chees_sampler(
     fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                    out_specs=out_specs, check_vma=False)
     return fn(key, init_x)
+
+
+def sharded_stretch_sampler(
+    key: jax.Array,
+    log_prob: Callable,
+    init_x: jnp.ndarray,
+    num_steps: int,
+    mesh: Mesh,
+    axis: str = CHAIN_AXIS,
+    keep_samples: bool = False,
+    **st_kwargs,
+):
+    """Sharded affine-invariant ensemble sampling: each shard runs an
+    INDEPENDENT full ensemble over its walker slice (the stretch move
+    needs whole-ensemble pairing, so walkers are not split across a
+    proposal — parallel independent ensembles of W/P walkers each,
+    every one a valid sampler of the same target; samples pool).
+    Requires W/P to still satisfy the 2d+2 walker floor.
+    """
+    from cusmc_tpu.mcmc.ensemble import EnsembleResult, \
+        stretch_move_sampler
+
+    w = init_x.shape[0]
+    n_shards = mesh.shape[axis]
+    if w % n_shards != 0:
+        raise ValueError(f"walkers={w} not divisible by axis {n_shards}")
+    if n_shards == 1:
+        return stretch_move_sampler(
+            jax.random.fold_in(key, 0), log_prob, init_x, num_steps,
+            keep_samples=keep_samples, **st_kwargs)
+
+    def local(key, init_local):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        res = stretch_move_sampler(
+            k, log_prob, init_local, num_steps,
+            keep_samples=keep_samples, **st_kwargs)
+        return res.replace(
+            accept_rate=jax.lax.pmean(res.accept_rate, axis))
+
+    out_specs = EnsembleResult(
+        x=P(axis),
+        samples=P(None, axis) if keep_samples else None,
+        accept_rate=P(),
+    )
+    fn = jit_shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                       out_specs=out_specs, check_vma=False)
+    return fn(key, init_x)

@@ -211,3 +211,17 @@ def test_p1_mesh_specializes_to_unsharded(key):
                                     init, 50, keep_samples=True)
     np.testing.assert_array_equal(np.asarray(a.samples),
                                   np.asarray(b.samples))
+
+
+def test_sharded_stretch_independent_ensembles(key):
+    from cusmc_tpu.parallel import sharded_stretch_sampler
+    mesh = make_mesh({"chains": 8})
+    d, walkers, steps = 2, 128, 1500  # 16 walkers/shard >= 2d+2
+    logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    init = jax.random.normal(key, (walkers, d), jnp.float32)
+    res = sharded_stretch_sampler(key, logp, init, steps, mesh,
+                                  keep_samples=True)
+    assert res.samples.shape == (steps, walkers, d)
+    s = np.asarray(res.samples[steps // 2:]).reshape(-1, d)
+    np.testing.assert_allclose(s.var(0), 1.0, rtol=0.3)
+    assert 0.1 < float(res.accept_rate) < 0.9

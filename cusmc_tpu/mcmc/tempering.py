@@ -45,6 +45,8 @@ class PTState(struct.PyTreeNode):
     log_step: jnp.ndarray
     accept_count: jnp.ndarray
     swap_count: jnp.ndarray
+    ladder_s: jnp.ndarray      # [R-1] unnormalized log-spacing weights
+    swap_ema: jnp.ndarray      # [R-1] EMA of per-pair swap probability
 
 
 class PTResult(struct.PyTreeNode):
@@ -89,6 +91,8 @@ def parallel_tempering_sampler(
     thin: int = 1,
     axis_name: Optional[str] = None,
     noise_dtype: Optional[jnp.dtype] = None,
+    adapt_ladder: bool = False,
+    ladder_lr: float = 0.1,
 ) -> PTResult:
     """Run ``num_steps`` PT sweeps (each: one tempered RW-MH sweep on every
     rung + one even/odd swap pass when ``t % swap_every == 0``).
@@ -101,7 +105,14 @@ def parallel_tempering_sampler(
     scaled 1/sqrt(beta) at init so hot rungs start wider.
 
     Returns cold-rung samples [T, C, d]; diagnostics include per-pair
-    swap rates — tune the ladder toward uniform ~0.2-0.4 swap rates.
+    swap rates — tune the ladder toward uniform ~0.2-0.4 swap rates, or
+    pass ``adapt_ladder=True`` to do it automatically: the interior
+    betas (endpoints beta_0 = 1 and beta_{R-1} fixed) reparameterize as
+    softmax log-spacings, and Robbins-Monro equalizes the per-pair swap
+    probabilities (widening gaps that swap too easily, shrinking
+    starved ones — the fixed-endpoint form of communication-barrier
+    equalization). Adaptation runs for ``num_adapt`` sweeps then
+    freezes; ``result.betas`` is the adapted ladder.
     """
     if betas is None:
         betas = geometric_ladder(num_rungs, beta_min, init_x.dtype)
@@ -125,9 +136,24 @@ def parallel_tempering_sampler(
                          / jnp.sqrt(betas)).astype(dtype),
         accept_count=jnp.zeros((R,), dtype),
         swap_count=jnp.zeros((max(R - 1, 0),), dtype),
+        # softmax(ladder_s) * log(1/beta_min) reproduces the INITIAL
+        # spacings exactly (s_i = log rho_i up to a constant).
+        ladder_s=jnp.log(jnp.maximum(
+            jnp.log(betas[:-1]) - jnp.log(betas[1:]), 1e-6))
+        if R > 1 else jnp.zeros((0,), dtype),
+        swap_ema=jnp.full((max(R - 1, 0),), 0.3, dtype),
     )
+    total_gap = (jnp.log(betas[0]) - jnp.log(betas[-1])) if R > 1 else None
 
-    def rung_sweep(state, kz, ku, adapt):
+    def ladder_betas(state):
+        if not adapt_ladder or R < 2:
+            return betas
+        rho = jax.nn.softmax(state.ladder_s) * total_gap
+        logb = jnp.concatenate([jnp.zeros((1,), dtype),
+                                -jnp.cumsum(rho)])
+        return jnp.exp(logb)
+
+    def rung_sweep(state, kz, ku, adapt, betas):
         z = jax.random.normal(kz, (R, c, d), noise_dtype or dtype)
         z = z.astype(dtype)
         x_prop = state.x + jnp.exp(state.log_step)[:, None, None] * z
@@ -143,7 +169,7 @@ def parallel_tempering_sampler(
             x=x, logp=logp, log_step=log_step,
             accept_count=state.accept_count + pooled), None
 
-    def swap_pass(state, ks, parity):
+    def swap_pass(state, ks, parity, betas, adapt_on):
         """One DEO half-pass: propose swaps for pairs (r, r+1) with
         r % 2 == parity, vectorized over pairs and chains."""
         if R < 2:
@@ -176,14 +202,30 @@ def parallel_tempering_sampler(
         x = exchange(state.x)
         logp = exchange(state.logp)
         pooled_sw = _pmean(jnp.mean(acc.astype(dtype), axis=1), axis_name)
-        return state.replace(
+        new = state.replace(
             x=x, logp=logp, swap_count=state.swap_count + pooled_sw)
+        if adapt_ladder:
+            # Rao-Blackwellized swap probability (expected, not the
+            # 0/1 outcome): lower-variance signal for the ladder.
+            p_sw = _pmean(jnp.mean(
+                jnp.exp(jnp.minimum(dbeta[:, None] * dlogp, 0.0)),
+                axis=1), axis_name)
+            ema = jnp.where(active,
+                            0.9 * state.swap_ema + 0.1 * p_sw,
+                            state.swap_ema)
+            # equalize: pairs above the mean get wider gaps
+            step = ladder_lr * (ema - jnp.mean(ema))
+            s_new = state.ladder_s + adapt_on * step
+            new = new.replace(ladder_s=s_new, swap_ema=ema)
+        return new
 
     def body(state, t):
         k_t = jax.random.fold_in(key, t)
         kz, ku, ks = jax.random.split(k_t, 3)
         adapt = jnp.where(t < num_adapt, adapt_rate, 0.0).astype(dtype)
-        state, _ = rung_sweep(state, kz, ku, adapt)
+        adapt_on = jnp.where(t < num_adapt, 1.0, 0.0).astype(dtype)
+        bet = ladder_betas(state)
+        state, _ = rung_sweep(state, kz, ku, adapt, bet)
 
         # DEO: even pairs at even swap events, odd pairs at odd ones —
         # the non-reversible alternation that gives O(R) round trips.
@@ -191,7 +233,7 @@ def parallel_tempering_sampler(
         parity = event % 2
 
         def do_swaps(st):
-            return swap_pass(st, ks, parity)
+            return swap_pass(st, ks, parity, bet, adapt_on)
 
         if swap_every == 1:
             state = do_swaps(state)
@@ -221,5 +263,5 @@ def parallel_tempering_sampler(
         accept_rate=final.accept_count / num_steps,
         swap_rate=final.swap_count / pair_events,
         step_size=jnp.exp(final.log_step),
-        betas=betas,
+        betas=ladder_betas(final),
     )

@@ -113,7 +113,8 @@ def sharded_pt_sampler(
 
     out_specs = PTResult(
         state=PTState(x=P(None, axis), logp=P(None, axis), log_step=P(),
-                      accept_count=P(), swap_count=P()),
+                      accept_count=P(), swap_count=P(),
+                      ladder_s=P(), swap_ema=P()),
         samples=P(None, axis) if keep_samples else None,
         accept_rate=P(),
         swap_rate=P(),

@@ -122,3 +122,54 @@ class TestMechanics:
         init = jnp.zeros((3, 8, 2), jnp.float32)
         with pytest.raises(ValueError, match="rung axis"):
             parallel_tempering_sampler(key, logp, init, 10, num_rungs=4)
+
+
+class TestAdaptiveLadder:
+    def test_equalizes_swap_rates(self, key):
+        # a badly-spaced initial ladder: most gap between rungs 0-1.
+        d, chains, steps = 2, 64, 3000
+        betas0 = jnp.asarray([1.0, 0.05, 0.03, 0.02], jnp.float32)
+        logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1) * 50.0
+        init = jax.random.normal(key, (chains, d), jnp.float32) * 0.14
+        fixed = jax.jit(lambda k: parallel_tempering_sampler(
+            k, logp, init, steps, betas=betas0, step_size=0.05))(key)
+        adapt = jax.jit(lambda k: parallel_tempering_sampler(
+            k, logp, init, steps, betas=betas0, step_size=0.05,
+            adapt_ladder=True))(key)
+        sw_f = np.asarray(fixed.swap_rate)
+        sw_a = np.asarray(adapt.swap_rate)
+        # adapted ladder's swap rates are materially more uniform
+        assert sw_a.std() < 0.7 * sw_f.std(), (sw_f, sw_a)
+        b = np.asarray(adapt.betas)
+        # endpoints pinned, interior monotone
+        assert b[0] == 1.0
+        np.testing.assert_allclose(b[-1], 0.02, rtol=1e-4)
+        assert (np.diff(b) < 0).all()
+
+    def test_default_ladder_unchanged_without_flag(self, key):
+        d, chains = 2, 16
+        logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+        init = jax.random.normal(key, (chains, d), jnp.float32)
+        r = parallel_tempering_sampler(key, logp, init, 50, num_rungs=4)
+        np.testing.assert_allclose(
+            np.asarray(r.betas),
+            np.asarray(jnp.asarray([1.0, 0.1 ** (1 / 3), 0.1 ** (2 / 3),
+                                    0.1], jnp.float32)), rtol=1e-5)
+
+    def test_bimodal_still_recovered_with_adaptation(self, key):
+        d, chains, steps = 2, 32, 3000
+        SEP = 4.0
+
+        def mix(x):
+            a = -0.5 * jnp.sum((x + SEP) ** 2, axis=-1)
+            b = -0.5 * jnp.sum((x - SEP) ** 2, axis=-1)
+            return jnp.logaddexp(a, b)
+
+        init = -SEP + 0.5 * jax.random.normal(key, (chains, d),
+                                              jnp.float32)
+        pt = jax.jit(lambda k: parallel_tempering_sampler(
+            k, mix, init, steps, num_rungs=8, beta_min=0.02,
+            step_size=0.6, adapt_ladder=True))(key)
+        frac = float((np.asarray(pt.samples[steps // 2:, :, 0]) > 0)
+                     .mean())
+        assert 0.25 < frac < 0.75

@@ -66,13 +66,16 @@ def bench_rbpf():
 
 
 def bench_enkf():
+    # SUB_D / SUB_N select the regime (RESULTS.md rows: d=16 n=16k/65k,
+    # d=64 n=65k)
     from cusmc_tpu.smc.enkf import ensemble_kalman_filter
-    model = _dlm(16)
+    d = int(os.environ.get("SUB_D", 16))
+    model = _dlm(d)
     _, ys = model.simulate(jax.random.key(3), T)
-    n = min(N, 16384)
+    n = N
     fn = jax.jit(lambda key: ensemble_kalman_filter(
         key, model, ys, n).means)
-    return "enkf (d=16, stochastic update)", \
+    return f"enkf (d={d}, stochastic update, n={n})", \
         _time(lambda: fn(jax.random.key(0)), n * (T - 1))
 
 

@@ -118,6 +118,18 @@ def parallel_tempering_sampler(
         betas = geometric_ladder(num_rungs, beta_min, init_x.dtype)
     betas = jnp.asarray(betas, init_x.dtype)
     R = betas.shape[0]
+    # Validate the ladder when it is concrete (inside jit every array
+    # is a tracer — the built-in geometric ladder is correct by
+    # construction there; a wrong user ladder is caught on any eager
+    # call with the same arguments).
+    if not isinstance(betas, jax.core.Tracer):
+        import numpy as _np
+        b_np = _np.asarray(betas)
+        if R and not _np.isclose(b_np[0], 1.0, atol=1e-6):
+            raise ValueError(
+                f"betas[0] must be 1 (cold chain); got {b_np[0]}")
+        if R > 1 and not (_np.diff(b_np) < 0).all():
+            raise ValueError("betas must be strictly decreasing")
     if init_x.ndim == 2:
         init_x = jnp.broadcast_to(init_x[None], (R,) + init_x.shape)
     if init_x.shape[0] != R:

@@ -199,10 +199,16 @@ def sharded_stretch_sampler(
     from cusmc_tpu.mcmc.ensemble import EnsembleResult, \
         stretch_move_sampler
 
-    w = init_x.shape[0]
+    w, d_ = init_x.shape
     n_shards = mesh.shape[axis]
     if w % n_shards != 0:
         raise ValueError(f"walkers={w} not divisible by axis {n_shards}")
+    if n_shards > 1 and ((w // n_shards) % 2
+                         or w // n_shards < 2 * d_ + 2):
+        raise ValueError(
+            f"each shard's ensemble needs an EVEN walker count >= 2d+2:"
+            f" global W={w} over {n_shards} shards gives "
+            f"{w // n_shards} walkers/shard for d={d_}")
     if n_shards == 1:
         return stretch_move_sampler(
             jax.random.fold_in(key, 0), log_prob, init_x, num_steps,

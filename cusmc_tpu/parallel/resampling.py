@@ -485,14 +485,17 @@ def roll_metropolis_sharded_op(axis_name: str, n_global: int, n_local: int,
     the local accept/select work (windowed: also the sweeps); collective
     traffic is unconditional as shard_map requires.
     """
-    if num_steps == "auto" and n_global != n_local:
+    if num_steps == "auto" and (n_global != n_local
+                                or exchange == "windowed"):
         # The ESS-conditioned sweep schedule exists only for the
-        # single-shard roll sweeps; the multi-shard exchange builds a
-        # static per-sweep collective program. Fail clearly instead of
-        # a TypeError mid-trace (round-5 review finding).
+        # single-shard roll sweeps (the 1-shard specialization of the
+        # global/binary exchanges); every other path builds a static
+        # per-sweep collective program. Fail clearly instead of a
+        # TypeError mid-trace (round-5 review findings).
         raise ValueError(
-            "num_steps='auto' is supported only on a 1-shard mesh; "
-            "pass an integer sweep count for multi-shard meshes")
+            "num_steps='auto' needs a 1-shard mesh with "
+            "exchange='global'/'binary'; pass an integer sweep count "
+            "otherwise")
 
 
     num_shards = n_global // n_local

@@ -28,6 +28,7 @@ from cusmc_tpu.diagnostics.mcmc import (
 )
 from cusmc_tpu.mcmc.chees import chees_hmc_sampler
 from cusmc_tpu.mcmc.metropolis import metropolis_hastings_sampler
+from cusmc_tpu.mcmc.tempering import parallel_tempering_sampler
 
 
 class ConvergenceRun:
@@ -58,13 +59,17 @@ def sample_to_convergence(
     """Sample ``log_prob`` with [C, d] chains until converged.
 
     ``sampler``: "chees" (preconditioned ChEES-HMC — the auto-tuning
-    default) or "mh" (random-walk Metropolis). Block 1 adapts; blocks
+    default), "mh" (random-walk Metropolis), or "pt" (parallel
+    tempering — for MULTIMODAL targets, where rank-normalized R-hat is
+    exactly the diagnostic that catches missed modes; the warm block
+    adapts per-rung step sizes and, if ``adapt_ladder=True`` is passed,
+    the ladder; continuation re-injects both). Block 1 adapts; blocks
     2..max_blocks run with everything frozen at the adapted values.
     Diagnostics are computed on all post-warmup draws; the run stops as
     soon as max(R-hat) <= rhat_tol AND min(bulk ESS) >= min_ess.
     ``kwargs`` pass through to the underlying sampler.
     """
-    if sampler not in ("chees", "mh"):
+    if sampler not in ("chees", "mh", "pt"):
         raise ValueError(f"unknown sampler {sampler!r}")
 
     warm_kw = dict(kwargs)
@@ -75,7 +80,16 @@ def sample_to_convergence(
                if k not in ("init_traj", "init_var", "num_adapt",
                             "keep_samples")}
     warm_kw.pop("keep_samples", None)
-    if sampler == "chees":
+    if sampler == "pt":
+        cont_kw.pop("betas", None)
+        cont_kw.pop("adapt_ladder", None)
+        warm = jax.jit(lambda k, x: parallel_tempering_sampler(
+            k, log_prob, x, block_steps, step_size=step_size,
+            keep_samples=False, **warm_kw))
+        cont = jax.jit(lambda k, x, ls, b: parallel_tempering_sampler(
+            k, log_prob, x, block_steps, betas=b, init_log_step=ls,
+            num_adapt=0, keep_samples=True, **cont_kw))
+    elif sampler == "chees":
         warm = jax.jit(lambda k, x: chees_hmc_sampler(
             k, log_prob, x, block_steps, step_size=step_size,
             keep_samples=False, **warm_kw))
@@ -101,6 +115,8 @@ def sample_to_convergence(
         if sampler == "chees":
             res = cont(k_b, x, res.step_size, res.traj_length,
                        res.mass_var)
+        elif sampler == "pt":
+            res = cont(k_b, x, jnp.log(res.step_size), res.betas)
         else:
             res = cont(k_b, x, res.step_size)
         x = res.state.x

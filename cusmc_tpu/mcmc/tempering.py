@@ -93,6 +93,7 @@ def parallel_tempering_sampler(
     noise_dtype: Optional[jnp.dtype] = None,
     adapt_ladder: bool = False,
     ladder_lr: float = 0.1,
+    init_log_step: Optional[jnp.ndarray] = None,
 ) -> PTResult:
     """Run ``num_steps`` PT sweeps (each: one tempered RW-MH sweep on every
     rung + one even/odd swap pass when ``t % swap_every == 0``).
@@ -143,9 +144,13 @@ def parallel_tempering_sampler(
     state = PTState(
         x=init_x,
         logp=logp0,
-        # hot rungs sample a flatter target: start sqrt(1/beta) wider.
-        log_step=jnp.log(jnp.asarray(step_size, dtype)
-                         / jnp.sqrt(betas)).astype(dtype),
+        # hot rungs sample a flatter target: start sqrt(1/beta) wider
+        # (init_log_step overrides for warm restarts — the convergence
+        # driver re-injects the adapted per-rung scales).
+        log_step=(jnp.asarray(init_log_step, dtype)
+                  if init_log_step is not None
+                  else jnp.log(jnp.asarray(step_size, dtype)
+                               / jnp.sqrt(betas)).astype(dtype)),
         accept_count=jnp.zeros((R,), dtype),
         swap_count=jnp.zeros((max(R - 1, 0),), dtype),
         # softmax(ladder_s) * log(1/beta_min) reproduces the INITIAL

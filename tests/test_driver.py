@@ -55,3 +55,24 @@ def test_unknown_sampler(key):
     with pytest.raises(ValueError, match="unknown sampler"):
         sample_to_convergence(key, lambda x: x.sum(-1),
                               jnp.zeros((4, 2)), sampler="gibbs")
+
+
+def test_pt_driver_on_bimodal(key):
+    # plain-MH driver would satisfy R-hat while stuck in one mode only
+    # if chains all start together; PT actually mixes the modes.
+    SEP = 4.0
+
+    def mix(x):
+        a = -0.5 * jnp.sum((x + SEP) ** 2, axis=-1)
+        b = -0.5 * jnp.sum((x - SEP) ** 2, axis=-1)
+        return jnp.logaddexp(a, b)
+
+    init = -SEP + 0.5 * jax.random.normal(key, (32, 2), jnp.float32)
+    run = sample_to_convergence(key, mix, init, sampler="pt",
+                                block_steps=800, max_blocks=8,
+                                min_ess=300.0, step_size=0.6,
+                                num_rungs=6, beta_min=0.02,
+                                adapt_ladder=True)
+    assert run.converged
+    frac = float((run.samples[..., 0] > 0).mean())
+    assert 0.2 < frac < 0.8

@@ -28,6 +28,7 @@ from cusmc_tpu.diagnostics.mcmc import (
 )
 from cusmc_tpu.mcmc.chees import chees_hmc_sampler
 from cusmc_tpu.mcmc.metropolis import metropolis_hastings_sampler
+from cusmc_tpu.mcmc.ensemble import stretch_move_sampler
 from cusmc_tpu.mcmc.tempering import parallel_tempering_sampler
 
 
@@ -63,13 +64,15 @@ def sample_to_convergence(
     tempering — for MULTIMODAL targets, where rank-normalized R-hat is
     exactly the diagnostic that catches missed modes; the warm block
     adapts per-rung step sizes and, if ``adapt_ladder=True`` is passed,
-    the ladder; continuation re-injects both). Block 1 adapts; blocks
+    the ladder; continuation re-injects both), or "stretch" (the
+    tune-free affine-invariant ensemble — nothing to adapt, every block
+    just continues the walkers). Block 1 adapts; blocks
     2..max_blocks run with everything frozen at the adapted values.
     Diagnostics are computed on all post-warmup draws; the run stops as
     soon as max(R-hat) <= rhat_tol AND min(bulk ESS) >= min_ess.
     ``kwargs`` pass through to the underlying sampler.
     """
-    if sampler not in ("chees", "mh", "pt"):
+    if sampler not in ("chees", "mh", "pt", "stretch"):
         raise ValueError(f"unknown sampler {sampler!r}")
 
     warm_kw = dict(kwargs)
@@ -80,7 +83,12 @@ def sample_to_convergence(
                if k not in ("init_traj", "init_var", "num_adapt",
                             "keep_samples")}
     warm_kw.pop("keep_samples", None)
-    if sampler == "pt":
+    if sampler == "stretch":
+        warm = jax.jit(lambda k, x: stretch_move_sampler(
+            k, log_prob, x, block_steps, keep_samples=False, **warm_kw))
+        cont = jax.jit(lambda k, x: stretch_move_sampler(
+            k, log_prob, x, block_steps, keep_samples=True, **cont_kw))
+    elif sampler == "pt":
         cont_kw.pop("betas", None)
         cont_kw.pop("adapt_ladder", None)
         warm = jax.jit(lambda k, x: parallel_tempering_sampler(
@@ -106,7 +114,7 @@ def sample_to_convergence(
 
     k_warm, key = jax.random.split(key)
     res = warm(k_warm, init_x)
-    x = res.state.x
+    x = res.x if sampler == "stretch" else res.state.x
 
     blocks = []
     rhat = ess = None
@@ -117,9 +125,11 @@ def sample_to_convergence(
                        res.mass_var)
         elif sampler == "pt":
             res = cont(k_b, x, jnp.log(res.step_size), res.betas)
+        elif sampler == "stretch":
+            res = cont(k_b, x)
         else:
             res = cont(k_b, x, res.step_size)
-        x = res.state.x
+        x = res.x if sampler == "stretch" else res.state.x
         blocks.append(np.asarray(res.samples))
         stack = jnp.asarray(np.concatenate(blocks, axis=0))
         rhat = np.asarray(rank_normalized_rhat(stack))

@@ -76,3 +76,17 @@ def test_pt_driver_on_bimodal(key):
     assert run.converged
     frac = float((run.samples[..., 0] > 0).mean())
     assert 0.2 < frac < 0.8
+
+
+def test_stretch_driver(key):
+    d, walkers = 3, 64
+    stds = jnp.asarray([1.0, 3.0, 9.0], jnp.float32)
+    logp = lambda x: -0.5 * jnp.sum((x / stds) ** 2, axis=-1)
+    init = stds * jax.random.normal(key, (walkers, d), jnp.float32)
+    run = sample_to_convergence(key, logp, init, sampler="stretch",
+                                block_steps=600, max_blocks=10,
+                                min_ess=300.0)
+    assert run.converged
+    s = run.samples.reshape(-1, d)
+    np.testing.assert_allclose(s.var(0), np.asarray(stds) ** 2,
+                               rtol=0.4)

@@ -80,8 +80,8 @@ def sample_to_convergence(
     # num_adapt=0 / keep_samples=True; drop any user-supplied initials
     # for those same knobs (passing both is a TypeError)
     cont_kw = {k: v for k, v in kwargs.items()
-               if k not in ("init_traj", "init_var", "num_adapt",
-                            "keep_samples")}
+               if k not in ("init_traj", "init_var", "init_log_step",
+                            "num_adapt", "keep_samples")}
     warm_kw.pop("keep_samples", None)
     if sampler == "stretch":
         warm = jax.jit(lambda k, x: stretch_move_sampler(
